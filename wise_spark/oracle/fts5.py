@@ -1,0 +1,68 @@
+"""SQLite FTS5 bridge — the *actual reference engine* for rank-identity.
+
+The reference's full-text path is an FTS5 virtual table queried with
+`MATCH ... ORDER BY rank LIMIT k`
+(/root/reference/src/index/sqlite_search_index.py:65-113).  Stdlib sqlite3
+ships FTS5, so tests can compare our engine against the real thing on the
+same corpus (ASCII corpora only: FTS5's unicode61 tokenizer ~ our analyzer
+on ASCII; Unicode edge cases are covered by the pandas oracle instead).
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pandas as pd
+
+from ..analyzer import tokenize_text
+
+
+def fts5_available() -> bool:
+    try:
+        con = sqlite3.connect(":memory:")
+        con.execute("CREATE VIRTUAL TABLE _probe USING fts5(x)")
+        con.close()
+        return True
+    except sqlite3.OperationalError:
+        return False
+
+
+class Fts5Oracle:
+    def __init__(self, docs: pd.DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+        # in-memory, like the reference's backup-to-:memory: trick
+        # (/root/reference/src/index/sqlite_search_index.py:91-102)
+        self.con = sqlite3.connect(":memory:")
+        self.con.execute(
+            "CREATE VIRTUAL TABLE d USING fts5(body, tokenize='unicode61')"
+        )
+        with self.con:
+            self.con.executemany(
+                "INSERT INTO d(rowid, body) VALUES (?, ?)",
+                zip(docs[id_col].astype(int), docs[text_col]),
+            )
+
+    @staticmethod
+    def _match_expr(query: str, mode: str) -> str | None:
+        terms = sorted(set(tokenize_text(query)))
+        if not terms:
+            return None
+        quoted = [f'"{t}"' for t in terms]
+        return (" OR " if mode == "any" else " ").join(quoted)
+
+    def score_all(self, query: str, mode: str = "all") -> pd.DataFrame:
+        """All matching docs as (doc_id, score) with score = -bm25 (positive
+        = more relevant), sorted (score desc, doc_id asc)."""
+        expr = self._match_expr(query, mode)
+        if expr is None:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        rows = self.con.execute(
+            "SELECT rowid, -bm25(d) FROM d WHERE d MATCH ?", (expr,)
+        ).fetchall()
+        out = pd.DataFrame(rows, columns=["doc_id", "score"]).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+        return out.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+
+    def topk(self, query: str, k: int = 10, mode: str = "all") -> pd.DataFrame:
+        return self.score_all(query, mode).head(k).reset_index(drop=True)

@@ -1,0 +1,147 @@
+"""Naive exact BM25 scorer — pure DataFrame ops, no index.
+
+Reference analog: the exhaustive faiss IndexFlatIP path that the reference
+keeps as its correctness topline (/root/reference/src/index/
+feature_search_index.py:47-52; docs/Search-Index-Evaluation.md row "Naive").
+Every indexed scorer (WAND) must be rank-identical to this, which in turn is
+rank-identical to the pandas + FTS5 oracles.
+
+Plan shape (all Catalyst-optimizable, single shuffle on doc_id):
+    docs -> tokenize pandas_udf -> explode -> groupBy(doc_id, term) tf
+         -> filter(term IN query)            [pushed ahead of the agg by us]
+         -> broadcast-join df/idf stats -> deterministic-order score fold
+         -> TakeOrderedAndProject(k)
+
+Determinism contract (SURVEY.md section 7, hard part 1): per-document score
+sums contributions in sorted-term order via a sort_array + aggregate fold,
+so float results do not depend on row arrival order; ties break ascending
+doc_id.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType
+
+from ..analyzer import tokenize_text, tokenize_udf
+from .bm25 import idf_col, tf_component_col
+
+
+def tokens_with_tf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf, doclen) — one row per distinct (doc, term).
+
+    doclen counts ALL tokens (FTS5 column size), carried through the explode
+    so downstream scoring never re-joins the doc table.
+    """
+    tokenize = tokenize_udf()
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokenize(F.col(text_col)).alias("toks"),
+    ).withColumn("doclen", F.size("toks"))
+    return (
+        toks.select("doc_id", "doclen", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("doclen").alias("doclen"))
+    )
+
+
+@dataclass
+class TokenizedCorpus:
+    """Reusable tokenization + exact corpus stats (N, avgdl are EXACT)."""
+
+    tf: DataFrame  # (doc_id, term, tf, doclen)
+    n_docs: int
+    avgdl: float
+
+    @classmethod
+    def build(
+        cls,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        cache: bool = False,
+    ) -> "TokenizedCorpus":
+        tf = tokens_with_tf(docs, id_col, text_col)
+        if cache:
+            tf = tf.cache()
+        # doc lengths from the tokenizer (not the raw doc table) so empty-token
+        # docs still count toward N with doclen 0
+        tokenize = tokenize_udf()
+        lens = docs.select(F.size(tokenize(F.col(text_col))).alias("doclen"))
+        row = lens.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl")
+        ).collect()[0]
+        return cls(tf=tf, n_docs=int(row["n"]), avgdl=float(row["avgdl"] or 0.0))
+
+
+def _deterministic_score(contrib_df: DataFrame) -> DataFrame:
+    """groupBy(doc_id) summing contributions in sorted-term order (float64)."""
+    folded = (
+        contrib_df.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("cs"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .withColumn(
+            "score",
+            F.aggregate(
+                "cs", F.lit(0.0).cast(DoubleType()), lambda acc, x: acc + x["contrib"]
+            ),
+        )
+    )
+    return folded.select("doc_id", "score", "n_terms_hit")
+
+
+def score_query(corpus: TokenizedCorpus, query: str, mode: str = "all") -> DataFrame:
+    """All matching docs scored: (doc_id, score), unsorted."""
+    terms = sorted(set(tokenize_text(query)))
+    spark = corpus.tf.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    hits = corpus.tf.filter(F.col("term").isin(terms))
+    # exact df per query term; tiny (<= |terms| rows) -> broadcast
+    dfs = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        hits.join(F.broadcast(dfs), "term")
+        .withColumn(
+            "contrib",
+            idf_col(F.col("df").cast("double"), corpus.n_docs)
+            * tf_component_col(
+                F.col("tf").cast("double"),
+                F.col("doclen").cast("double"),
+                F.lit(corpus.avgdl),
+            ),
+        )
+        .select("doc_id", "term", "contrib")
+    )
+    scored = _deterministic_score(contrib)
+    if mode == "all":
+        scored = scored.filter(F.col("n_terms_hit") == len(terms))
+    return scored.select("doc_id", "score")
+
+
+def naive_topk(
+    docs_or_corpus,
+    query: str,
+    k: int = 10,
+    mode: str = "all",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exhaustive top-k: (doc_id, score) ordered (score desc, doc_id asc).
+
+    The global top-k is a TakeOrderedAndProject (limit pushdown), the analog
+    of the reference's pagination cap (/root/reference/api/routes.py:1216).
+    """
+    corpus = (
+        docs_or_corpus
+        if isinstance(docs_or_corpus, TokenizedCorpus)
+        else TokenizedCorpus.build(docs_or_corpus, id_col, text_col)
+    )
+    return (
+        score_query(corpus, query, mode)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1,0 +1,110 @@
+"""Query surface: boolean composition, blocklist, rank assignment, CSV export.
+
+Mirrors the reference's query semantics on doc-granular results:
+  * NOT-IN subtract  — anti-join of hits (reference `apply_subtract`,
+    /root/reference/search.py:161-190; ours keys on doc_id — the reference
+    keys on (filename, overlapping segment) because its docs are time-ranged);
+  * AND merge        — intersection with score = score0 + score1 and re-sort
+    (reference `merge1`, /root/reference/search.py:393-445);
+  * OR merge         — union with max-score dedup (the reference PARSES `or`
+    but never executes it, /root/reference/src/search/query_parser.py:37,
+    156-167 — we implement it properly);
+  * blocklist        — exact match of the stripped query against a configured
+    set (reference /root/reference/api/routes.py:1227-1234, config.py:18);
+  * CSV export       — reference header analog `query,rank,doc_id,score`
+    (/root/reference/search.py:451).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# A SearchResult is any DataFrame with (doc_id: long, score: double).
+SearchResult = DataFrame
+
+
+class BlockedQueryError(Exception):
+    """Raised when a query exactly matches the blocklist (reference: HTTP 403)."""
+
+
+def check_blocklist(query: str, blocklist: set[str] | None) -> None:
+    if blocklist and query.strip() in blocklist:
+        raise BlockedQueryError(query.strip())
+
+
+def subtract(results: SearchResult, not_results: SearchResult) -> SearchResult:
+    """Drop hits whose doc_id appears in the NOT-IN result (left_anti)."""
+    return results.join(not_results.select("doc_id"), "doc_id", "left_anti")
+
+
+def and_merge(a: SearchResult, b: SearchResult) -> SearchResult:
+    """Intersection; merged score = sum (equi-join on doc_id -> hash join,
+    never a cross product — the reference loops over the full product)."""
+    return (
+        a.select("doc_id", F.col("score").alias("_s0"))
+        .join(b.select("doc_id", F.col("score").alias("_s1")), "doc_id")
+        .select("doc_id", (F.col("_s0") + F.col("_s1")).alias("score"))
+    )
+
+
+def or_merge(a: SearchResult, b: SearchResult) -> SearchResult:
+    """Union with per-doc max score (documented OR semantics)."""
+    return (
+        a.select("doc_id", "score")
+        .unionByName(b.select("doc_id", "score"))
+        .groupBy("doc_id")
+        .agg(F.max("score").alias("score"))
+    )
+
+
+def ranked(result: SearchResult, k: int | None = None) -> DataFrame:
+    """Attach rank = position under (score desc, doc_id asc); optional top-k.
+
+    Rank is carried as an explicit column so joins can't destroy order
+    (reference keeps order with `ORDER BY CASE id ...`,
+    /root/reference/src/repository/__init__.py:65-74).
+    """
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    out = result.withColumn("rank", F.row_number().over(w) - 1)
+    if k is not None:
+        out = out.filter(F.col("rank") < k)
+    return out.orderBy("rank")
+
+
+def search(
+    scorer,
+    query: str,
+    k: int = 10,
+    mode: str = "all",
+    not_query: str | None = None,
+    blocklist: set[str] | None = None,
+) -> DataFrame:
+    """End-to-end single query with optional NOT-IN, like the reference CLI
+    `--query Q --in T [--query Q2 --not-in T]` (/root/reference/search.py:67-119).
+
+    `scorer(query, mode)` returns all matching (doc_id, score); NOT-IN
+    executes first (reference order, search.py:79-91).
+    """
+    check_blocklist(query, blocklist)
+    if not_query is not None:
+        check_blocklist(not_query, blocklist)
+    hits = scorer(query, mode)
+    if not_query is not None:
+        hits = subtract(hits, scorer(not_query, mode))
+    return ranked(hits, k)
+
+
+def export_csv(result: DataFrame, path: str, query_label: str) -> None:
+    """Write `query,rank,doc_id,score` CSV (one file; results are <= k rows)."""
+    (
+        result.select(
+            F.lit(query_label).alias("query"),
+            "rank",
+            "doc_id",
+            F.col("score").cast("string").alias("score"),  # full float64 precision
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )

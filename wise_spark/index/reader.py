@@ -1,0 +1,134 @@
+"""FtsIndex: load a built index and execute top-k BM25 queries.
+
+Query lifecycle (SURVEY.md section 3.4): driver tokenizes the query with the
+SAME analyzer as the build side, looks up exact df for the query terms from
+the range-partitioned terms table (parquet min/max pruning on `term`), then
+reads only the query terms' segment rows (predicate pushdown into the scan)
+and runs the per-shard scoring kernel via applyInPandas; the global result is
+a tiny TakeOrderedAndProject over per-shard top-k heaps.
+
+Scale notes: the segments scan touches only the query terms' posting rows —
+for a 3-term query over 10^12 docs that is 3 * n_shards rows regardless of
+corpus size; df/avgdl stats ship to executors as broadcast-sized closure
+values (a handful of floats), the analog of the reference broadcasting its
+corpus stats implicitly inside FTS5.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..analyzer import tokenize_text
+from ..query.bm25 import idf_scalar
+from .build import IndexMeta
+from .wand import score_shard_taat, score_shard_wand
+
+
+class FtsIndex:
+    def __init__(self, spark: SparkSession, index_dir: str, meta: IndexMeta):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = meta
+        self._segments = spark.read.parquet(os.path.join(index_dir, "segments"))
+        self._terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+
+    @classmethod
+    def load(cls, spark: SparkSession, index_dir: str) -> "FtsIndex":
+        return cls(spark, index_dir, IndexMeta.load(index_dir))
+
+    # -- plumbing ------------------------------------------------------------
+
+    def doc_map(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "doc_map"))
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "lineage"))
+
+    def query_terms(self, query: str) -> list[str]:
+        return sorted(set(tokenize_text(query)))
+
+    def term_stats(self, terms: list[str]) -> dict[str, int]:
+        """Exact df per query term; min/max-pruned parquet scan, tiny result."""
+        if not terms:
+            return {}
+        rows = self._terms.filter(F.col("term").isin(terms)).collect()
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def _idfs(self, terms: list[str]) -> dict[str, float]:
+        dfs = self.term_stats(terms)
+        return {t: idf_scalar(dfs[t], self.meta.n_docs) for t in terms if t in dfs}
+
+    # -- scoring -------------------------------------------------------------
+
+    def _matched_segments(self, terms: list[str]) -> DataFrame:
+        return self._segments.filter(F.col("term").isin(terms))
+
+    def score_all(self, query: str, mode: str = "all") -> DataFrame:
+        """Exhaustive index-accelerated scoring: all matching (doc_id, score).
+
+        Used by boolean composition (NOT-IN / AND / OR operate on full result
+        relations, reference /root/reference/search.py:67-119).
+        """
+        terms = self.query_terms(query)
+        idfs = self._idfs(terms)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not idfs or (mode == "all" and len(idfs) < len(terms)):
+            return empty
+        avgdl, n_terms = self.meta.avgdl, len(terms)
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            return score_shard_taat(pdf, idfs, avgdl, n_terms, mode)
+
+        return (
+            self._matched_segments(list(idfs))
+            .groupBy("shard")
+            .applyInPandas(run, schema="doc_id long, score double")
+        )
+
+    def topk(
+        self, query: str, k: int = 10, mode: str = "all", method: str = "wand"
+    ) -> DataFrame:
+        """Top-k (doc_id, score) ordered (score desc, doc_id asc).
+
+        method='wand'  per-shard block-max WAND heaps (rank-identical)
+        method='taat'  per-shard exhaustive, then global top-k
+        """
+        terms = self.query_terms(query)
+        idfs = self._idfs(terms)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not idfs or (mode == "all" and len(idfs) < len(terms)):
+            return empty
+        avgdl, n_terms = self.meta.avgdl, len(terms)
+
+        if method == "wand":
+            def run(pdf: pd.DataFrame) -> pd.DataFrame:
+                return score_shard_wand(pdf, idfs, avgdl, n_terms, mode, k)
+        else:
+            def run(pdf: pd.DataFrame) -> pd.DataFrame:
+                out = score_shard_taat(pdf, idfs, avgdl, n_terms, mode)
+                out = out.sort_values(
+                    ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+                )
+                return out.head(k)
+
+        local = (
+            self._matched_segments(list(idfs))
+            .groupBy("shard")
+            .applyInPandas(run, schema="doc_id long, score double")
+        )
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def scorer(self):
+        """(query, mode) -> score_all DataFrame, for wise_spark.query.search."""
+        return lambda q, m="all": self.score_all(q, m)
+
+    def hydrate(self, results: DataFrame) -> DataFrame:
+        """Join top-k hits back to doc_map metadata — the reference's FTS
+        rowid join (/root/reference/src/index/sqlite_search_index.py:110-113).
+        The hits side is <= k rows, so broadcast IT and let the doc_map scan
+        stream past it (no shuffle of the big table)."""
+        return self.doc_map().join(F.broadcast(results), "doc_id", "inner")

@@ -1,0 +1,29 @@
+from .text import token_stats, quality_features, lang_guess, fingerprints
+from .dedup import (
+    exact_duplicates,
+    shingles,
+    ngram_jaccard_pairs,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    simhash_fingerprints,
+)
+from .similarity import cosine_topk, lsh_cosine_topk
+from .relational import sessionize, best_per_group, ordered_lookup
+
+__all__ = [
+    "token_stats",
+    "quality_features",
+    "lang_guess",
+    "fingerprints",
+    "exact_duplicates",
+    "shingles",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "cosine_topk",
+    "lsh_cosine_topk",
+    "sessionize",
+    "best_per_group",
+    "ordered_lookup",
+]

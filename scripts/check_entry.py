@@ -1,0 +1,107 @@
+"""Driver-mimic: run every __spark_entry__ query on Spark AND its DuckDB
+oracle on the same parquet tables; compare row count, sorted column names,
+and values (rows sorted column-name-wise, exact equality after the entries'
+own rounding). Usage:
+
+    python scripts/check_entry.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E  # noqa: E402
+from wise_spark.session import get_spark  # noqa: E402
+
+
+def duck_run(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in E.TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con.execute(sql).fetchdf()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (bytes, bytearray)):
+            df[c] = df[c].map(bytes)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    errs = []
+    if sorted(got.columns) != sorted(want.columns):
+        return [f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"]
+    if len(got) != len(want):
+        errs.append(f"{name}: rows {len(got)} != {len(want)}")
+        return errs
+    g, w = canon(got), canon(want)
+    for c in g.columns:
+        gv, wv = g[c], w[c]
+        if np.issubdtype(gv.dtype, np.floating) or np.issubdtype(wv.dtype, np.floating):
+            a = gv.astype(float).to_numpy()
+            b = wv.astype(float).to_numpy()
+            bad = ~(np.isclose(a, b, rtol=0, atol=0, equal_nan=True))
+            if bad.any():
+                i = int(np.flatnonzero(bad)[0])
+                errs.append(f"{name}.{c}: {bad.sum()} mismatches, first {a[i]!r} vs {b[i]!r} at row {i}")
+        else:
+            neq = (gv.astype(str) != wv.astype(str)).to_numpy()
+            if neq.any():
+                i = int(np.flatnonzero(neq)[0])
+                errs.append(f"{name}.{c}: {neq.sum()} mismatches, first {gv.iloc[i]!r} vs {wv.iloc[i]!r}")
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(master="local[8]", app_name="check_entry", shuffle_partitions=8)
+    qs, sqls = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"{name}: SPARK ERROR {type(ex).__name__}: {ex}")
+            print(f"FAIL  {name} (spark error)", flush=True)
+            continue
+        if name not in sqls:
+            print(f"rows-only  {name}: {len(got)} rows", flush=True)
+            continue
+        try:
+            want = duck_run(sf_dir, sqls[name])
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"{name}: DUCKDB ERROR {type(ex).__name__}: {ex}")
+            print(f"FAIL  {name} (duckdb error)", flush=True)
+            continue
+        errs = compare(name, got, want)
+        if errs:
+            failures.extend(errs)
+            print(f"FAIL  {name}: {errs[0]}", flush=True)
+        else:
+            print(f"ok    {name}: {len(got)} rows", flush=True)
+    spark.stop()
+    if failures:
+        print("\n== FAILURES ==")
+        for f in failures:
+            print(" -", f)
+        return 1
+    print("all entries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -20,10 +20,7 @@ def corpus_pdf() -> pd.DataFrame:
 
     from wise_spark.data.corpus import corpus_pandas
 
-    pdf = corpus_pandas(np.arange(300), seed=42, vocab_size=2000)
-    pdf = pdf.reset_index(drop=True)
-    pdf["doc_id"] = pdf.index.astype("int64")
-    return pdf
+    return corpus_pandas(np.arange(300), seed=42, vocab_size=2000).reset_index(drop=True)
 
 
 @pytest.fixture(scope="session")

@@ -81,6 +81,18 @@ def test_postings_roundtrip(entries, avgdl):
     assert enc["max_tfc"] == tfc.max()
 
 
+def test_postings_full_range_int64_ids():
+    """xxhash64-style ids span the full int64 range; gap arithmetic must be
+    overflow-safe (mod-2^64) including the negative->positive crossing."""
+    ids = np.array([-(2**63), -5, -1, 0, 3, 2**63 - 1], dtype=np.int64)
+    tfs = np.array([1, 2, 3, 4, 5, 6], dtype=np.int64)
+    dls = np.array([10, 10, 10, 10, 10, 10], dtype=np.int64)
+    enc = encode_postings(ids, tfs, dls, avgdl=10.0)
+    out_ids, out_tfs, _ = decode_postings(enc)
+    assert (out_ids == ids).all()
+    assert (out_tfs == tfs).all()
+
+
 def test_postings_reject_unsorted_or_dup():
     avgdl = 10.0
     with pytest.raises(ValueError):

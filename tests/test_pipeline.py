@@ -1,0 +1,171 @@
+"""Training-data pipeline ops: dedup, similarity, text analysis, relational
+windows, multimodal plumbing — semantic sanity on small deterministic data.
+(Cross-engine oracle parity for these runs in scripts/check_entry.py.)"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def small_docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),        # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),        # near dup
+        (3, "completely different content about spark engines"),
+        (4, "dog lazy the over jumps fox brown quick the"),        # bag-dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(small_docs):
+    from wise_spark.pipeline import exact_duplicates
+
+    out = exact_duplicates(small_docs).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["keeper_doc_id"] == 0
+
+
+def test_ngram_jaccard(small_docs):
+    from wise_spark.pipeline import ngram_jaccard_pairs
+
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(small_docs, n=3, threshold=0.3).collect()}
+    assert out[(0, 1)] == 1.0
+    assert (0, 2) in out and 0.3 <= out[(0, 2)] < 1.0
+    assert not any(3 in p for p in out)
+
+
+def test_minhash_lsh_finds_dups(small_docs):
+    from wise_spark.pipeline import minhash_lsh_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(small_docs, n=3).collect()}
+    assert (0, 1) in pairs  # identical shingle sets share every band
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_near_dup_distance(small_docs):
+    from wise_spark.pipeline import simhash_fingerprints
+
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(small_docs).collect()}
+    assert all(len(v) == 64 and set(v) <= {"0", "1"} for v in fp.values())
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert fp[0] == fp[1]            # identical text
+    assert fp[0] == fp[4]            # simhash is bag-based: reorder-invariant
+    assert ham(fp[0], fp[2]) < ham(fp[0], fp[3])  # near-dup closer than unrelated
+
+
+def test_bag_fingerprint_reorder_invariant(small_docs):
+    from wise_spark.pipeline import fingerprints
+
+    fp = {r["doc_id"]: r for r in fingerprints(small_docs).collect()}
+    assert fp[0]["bag_fingerprint"] == fp[4]["bag_fingerprint"]
+    assert fp[0]["exact_fingerprint"] != fp[4]["exact_fingerprint"]
+    assert fp[0]["exact_fingerprint"] == fp[1]["exact_fingerprint"]
+
+
+def test_cosine_topk_exact(spark):
+    from wise_spark.pipeline import cosine_topk
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((30, 8)).astype(np.float32)
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(df, df.filter(F.col("vec_id") < 3), k=5).toPandas()
+    # numpy oracle
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    for q in range(3):
+        cos = (v @ v[q]) / (norms * norms[q])
+        cos[q] = -np.inf
+        order = sorted(range(30), key=lambda i: (-round(cos[i], 6), i))[:5]
+        got = out[out["query_id"] == q].sort_values("rank")["vec_id"].tolist()
+        assert got == order, q
+
+
+def test_lsh_cosine_subset_of_exact_recall(spark):
+    from wise_spark.pipeline import cosine_topk, lsh_cosine_topk
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((60, 8)).astype(np.float32)
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 2)
+    exact = cosine_topk(df, q, k=3).toPandas()
+    approx = lsh_cosine_topk(df, q, k=3, n_planes=4, n_tables=6).toPandas()
+    # recall of approx vs exact should be decent with 6 tables on 8-dim data
+    e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.vec_id) for r in approx.itertuples()}
+    assert len(e & a) / len(e) >= 0.5
+
+
+def test_sessionize(spark):
+    from wise_spark.pipeline.relational import session_stats, sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base), (1, base + dt.timedelta(seconds=10)),
+        (1, base + dt.timedelta(seconds=100)),          # same session (gap 90 <= 120)
+        (1, base + dt.timedelta(seconds=400)),          # new session (gap 300 > 120)
+        (2, base), (2, base + dt.timedelta(seconds=500)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    s = sessionize(df, "user_id", "ts", 120.0).toPandas()
+    u1 = s[s.user_id == 1].sort_values("ts")["session_id"].tolist()
+    assert u1 == [0, 0, 0, 1]
+    assert s[s.user_id == 2].sort_values("ts")["session_id"].tolist() == [0, 1]
+    st = session_stats(df, "user_id", "ts", 120.0).toPandas()
+    row = st[(st.user_id == 1) & (st.session_id == 0)].iloc[0]
+    assert row["n_events"] == 3 and row["duration_s"] == 100
+
+
+def test_best_per_group_and_ordered_lookup(spark):
+    from wise_spark.pipeline.relational import best_per_group, ordered_lookup
+
+    df = spark.createDataFrame(
+        [(1, 10, 0.5), (1, 11, 0.9), (1, 12, 0.9), (2, 20, 0.1)],
+        "g long, id long, v double",
+    )
+    best = best_per_group(df, "g", "v", "id").toPandas().set_index("g")["id"]
+    assert best[1] == 11 and best[2] == 20  # tie -> smaller id
+    out = ordered_lookup([12, 10, 20], df, "id").toPandas()
+    assert out["id"].tolist() == [12, 10, 20]
+
+
+def test_multimodal_plumbing(spark, small_docs):
+    from wise_spark.pipeline.multimodal import (
+        attach_binary,
+        binary_metadata,
+        decode_image,
+        fake_feature_extract,
+    )
+
+    blobs = attach_binary(small_docs)
+    meta = binary_metadata(blobs).toPandas().set_index("doc_id")
+    import hashlib
+
+    assert meta.loc[0, "byte_size"] == len("the quick brown fox jumps over the lazy dog")
+    assert meta.loc[0, "checksum"] == hashlib.md5(
+        b"the quick brown fox jumps over the lazy dog"
+    ).hexdigest()
+    feats = fake_feature_extract(blobs, dim=8).toPandas().set_index("doc_id")
+    assert all(len(v) == 8 for v in feats["feature"])
+    # deterministic: identical payloads -> identical features
+    assert list(feats.loc[0, "feature"]) == list(feats.loc[1, "feature"])
+    with pytest.raises(NotImplementedError):
+        decode_image(blobs)
+
+
+def test_quality_and_langid(small_docs):
+    from wise_spark.pipeline import lang_guess, quality_features
+
+    q = quality_features(small_docs).toPandas().set_index("doc_id")
+    assert q.loc[0, "n_tokens"] == 9
+    assert abs(q.loc[0, "stopword_ratio"] - 2 / 9) < 1e-6  # 'the' twice
+    lg = lang_guess(small_docs).toPandas().set_index("doc_id")
+    assert lg.loc[0, "lang_guess"] == "en"

@@ -21,7 +21,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-CORPUS_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+CORPUS_SCHEMA = (
+    "doc_id long, url string, warc_ts timestamp, html binary, text string, lang string"
+)
 
 DEFAULT_SEED = 42
 DEFAULT_VOCAB = 50_000
@@ -183,7 +185,14 @@ def corpus_pandas(
         texts.append(text)
         langs.append(_LANGS[int(lang_pick[j])])
     return pd.DataFrame(
-        {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs}
+        {
+            "doc_id": ids,  # dense deterministic docID (SURVEY.md section 1.3)
+            "url": urls,
+            "warc_ts": tss,
+            "html": htmls,
+            "text": texts,
+            "lang": langs,
+        }
     )
 
 

@@ -80,13 +80,19 @@ def encode_postings(
     n = doc_ids.size
     assert n > 0
     # strictly ascending contract (mirrors the reference store's read-order
-    # guarantee, /root/reference/src/feature/store/test_feature_store.py:75-102)
-    if n > 1 and not (np.diff(doc_ids) > 0).all():
+    # guarantee, /root/reference/src/feature/store/test_feature_store.py:75-102).
+    # Element-wise comparison, NOT np.diff — diffs of full-range int64 ids
+    # (e.g. xxhash64 doc ids) overflow.
+    if n > 1 and not (doc_ids[1:] > doc_ids[:-1]).all():
         raise ValueError("doc_ids must be strictly ascending and unique")
+    # gaps in mod-2^64 arithmetic: correct for any int64 ids; decode cumsums
+    # in uint64 and reinterprets as int64
+    u = doc_ids.view(np.uint64) if doc_ids.flags.c_contiguous else doc_ids.astype(np.int64).view(np.uint64)
     gaps = np.empty(n, dtype=np.uint64)
-    gaps[0] = np.uint64(doc_ids[0])
+    gaps[0] = u[0]
     if n > 1:
-        gaps[1:] = np.diff(doc_ids).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            gaps[1:] = u[1:] - u[:-1]
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
     doclens = np.ascontiguousarray(doclens, dtype=np.int64)
     tfc = tf_component(tfs, doclens, avgdl)
@@ -111,7 +117,8 @@ def encode_postings(
 def decode_postings(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Segment row (mapping/pd.Series) -> (doc_ids, tfs, doclens)."""
     gaps = vb_decode(bytes(row["docids"]))
-    doc_ids = np.cumsum(gaps.astype(np.int64))
+    with np.errstate(over="ignore"):
+        doc_ids = np.cumsum(gaps, dtype=np.uint64).view(np.int64)
     tfs = vb_decode(bytes(row["tfs"])).astype(np.int64) + 1
     doclens = vb_decode(bytes(row["doclens"])).astype(np.int64)
     return doc_ids, tfs, doclens

@@ -1,0 +1,169 @@
+"""Deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Large-scale training-data dedup over the documents table. Design notes per
+operator (scale first, oracle-parity second):
+
+  * exact        — md5(text) groupBy; one shuffle keyed by a uniform hash, no
+                   skew by construction.
+  * n-gram Jaccard — shingle inverted index + self-join on shingle; exact
+                   Jaccard from |A∩B| and set sizes. At 100 TB the hot
+                   shingles dominate: `max_shingle_df` drops shingles shared
+                   by more than a cap of documents (standard posting-cap
+                   trick); with the cap at default None the result is exact
+                   and matches the DuckDB oracle.
+  * MinHash+LSH  — portable signatures: minhash_i = min over shingles of
+                   md5(shingle || ':' || i) (lexicographic min of hex —
+                   identical in Spark and DuckDB, no engine-specific hash);
+                   band key = md5 of the band's concatenated minhashes;
+                   candidates = pairs sharing any band bucket.
+  * SimHash      — 64-bit fingerprint from the md5 hex nibbles of each token,
+                   tf-weighted bit votes; emitted as a 64-char '0'/'1' string
+                   so the value is engine-portable.
+
+All paths are pure DataFrame ops (JVM-side expressions, no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import ASCII_TOKEN_RE, _toks
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Duplicate groups by exact text hash: (text_hash, n_docs, keeper_doc_id)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) distinct token n-grams (space-joined)."""
+    toks = _toks(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .where(F.size(toks) >= n)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs (doc_a < doc_b, jaccard) with shingle-set Jaccard >=
+    threshold. Exact when max_shingle_df is None."""
+    sh = shingles(docs, n, id_col, text_col)
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf")).filter(
+            F.col("sdf") > max_shingle_df
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+N_HASHES = 8
+BANDS = 4  # rows per band = N_HASHES // BANDS = 2
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, h0..h7) portable MinHash signature over n-gram shingles."""
+    sh = shingles(docs, n, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    Scale path: the join is keyed on (band_id, band_key) — bucket sizes are
+    tiny for non-dup corpora, and the banding threshold ~ (1/BANDS)^(1/rows)
+    governs recall exactly as in the MinHash literature.
+    """
+    sig = minhash_signatures(docs, n, id_col, text_col)
+    rows_per_band = N_HASHES // BANDS
+    bands = []
+    for bnd in range(BANDS):
+        cols = [F.col(f"h{bnd * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(bnd).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    allb = bands[0]
+    for x in bands[1:]:
+        allb = allb.unionByName(x)
+    a, b = allb.alias("a"), allb.alias("b")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash as a '0'/'1' string (engine-portable value).
+
+    bit_b = sign( sum over distinct tokens of tf * (2*bit_b(md5(token)) - 1) )
+    where bit_b comes from the b-th bit of the md5 hex nibbles.
+    """
+    toks = _toks(text_col)
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.md5(F.col("term")))
+    )
+    # 64 bits = first 16 hex nibbles x 4 bits
+    bit_cols = []
+    for bit in range(64):
+        nib, off = divmod(bit, 4)
+        digit = F.instr(F.lit("0123456789abcdef"), F.substring("h", nib + 1, 1)) - 1
+        b = F.floor(digit / (2 ** off)) % 2
+        bit_cols.append(((b * 2 - 1) * F.col("tf")).alias(f"v{bit}"))
+    votes = tf.select("doc_id", *bit_cols).groupBy("doc_id").agg(
+        *[F.sum(f"v{i}").alias(f"s{i}") for i in range(64)]
+    )
+    bits = F.concat(*[F.when(F.col(f"s{i}") > 0, "1").otherwise("0") for i in range(64)])
+    return votes.select("doc_id", bits.alias("simhash"))

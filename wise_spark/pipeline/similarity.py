@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (array<float>).
+
+  * cosine_topk     — exact brute force: broadcast the (small) query set,
+                      JVM-side zip_with/aggregate dot products, per-query
+                      top-k via window. The "IndexFlatIP" baseline.
+  * lsh_cosine_topk — random-hyperplane LSH bucketing as the scale path
+                      (the "IVF" analog): candidates share a sign-pattern
+                      bucket for at least one hash table, then exact rerank.
+                      Hyperplanes are deterministic (seeded) so results are
+                      reproducible; recall < 1 by design (documented), the
+                      same trade the reference makes with IVF nprobe
+                      (/root/reference/docs/Search-Index-Evaluation.md).
+
+All dot products run as built-in higher-order functions (no Python UDF);
+float32 inputs are cast to double before accumulation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For each query vector: exact top-k neighbors by cosine (desc, id asc).
+
+    Output: (query_id, vec_id, cosine, rank). Excludes self-matches.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("qvec"),
+    )
+    it = items.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("ivec"),
+    )
+    scored = (
+        it.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_cosine(F.col("qvec"), F.col("ivec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_cosine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane sign buckets, exact rerank within
+    candidates. dim is read from the first row (driver-side, once)."""
+    first = items.select(F.size(vec_col).alias("d")).first()
+    dim = int(first["d"])
+
+    def sig_col(vec, table: int):
+        planes = _hyperplanes(dim, n_planes, seed + table)
+        bits = []
+        for p in planes:
+            arr = F.array([F.lit(float(x)) for x in p])
+            dot = F.aggregate(
+                F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, v: acc + v,
+            )
+            bits.append(F.when(dot >= 0, "1").otherwise("0"))
+        return F.concat(F.lit(f"t{table}:"), *bits)
+
+    def with_sigs(df, id_alias):
+        out = []
+        for t in range(n_tables):
+            out.append(
+                df.select(
+                    F.col(id_col).alias(id_alias),
+                    F.col(vec_col).alias(f"{id_alias}_vec"),
+                    sig_col(F.col(vec_col), t).alias("bucket"),
+                )
+            )
+        u = out[0]
+        for x in out[1:]:
+            u = u.unionByName(x)
+        return u
+
+    qb = with_sigs(queries, "query_id")
+    ib = with_sigs(items, "vec_id")
+    cand = (
+        ib.join(F.broadcast(qb), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "query_id_vec", "vec_id_vec")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _cosine(
+                F.transform("query_id_vec", lambda v: v.cast("double")),
+                F.transform("vec_id_vec", lambda v: v.cast("double")),
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -2,8 +2,10 @@
 
 Every entry pairs a Spark implementation (wise_spark operators) with an
 ANSI-SQL DuckDB oracle over the same parquet tables. Column names and
-rounding are aligned on both sides; floats are rounded to 6 dp and sorted by
-the rounded value so tie selection at LIMIT boundaries is identical.
+rounding are aligned on both sides; floats are rounded (BM25 scores at 9 dp
+— head-term idf floors at 1e-6 so 6 dp would erase the ranking signal;
+other metrics at 6 dp) and sorted by the rounded value so tie selection at
+LIMIT boundaries is identical across engines.
 
 Coverage map (SURVEY.md section 2 -> entries):
   fulltext engine   ft_*            (S1,S3,S6,S7,A1,A2,A6,A7,T1,T3,J1,U1-U4,C9,F4)

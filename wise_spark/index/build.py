@@ -77,85 +77,160 @@ def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+_LINEAGE_COLS = ["stage", "unit", "status", "rows", "bytes", "wall_ms"]
+
+
 def _append_lineage(spark: SparkSession, index_dir: str, rows: list[tuple]) -> None:
-    spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1).write.mode("append").parquet(
-        os.path.join(index_dir, "lineage")
+    """Driver-side transactional bookkeeping — written directly with pyarrow
+    (a one-row Spark job costs seconds of python-worker spin-up; the manifest
+    is metadata, not data). Files are write-once; readers see a row only
+    after its file fully exists (the commit point)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = os.path.join(index_dir, "lineage")
+    os.makedirs(p, exist_ok=True)
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "stage": pa.array(cols[0], pa.string()),
+            "unit": pa.array(cols[1], pa.string()),
+            "status": pa.array(cols[2], pa.string()),
+            "rows": pa.array(cols[3], pa.int64()),
+            "bytes": pa.array(cols[4], pa.int64()),
+            "wall_ms": pa.array(cols[5], pa.int64()),
+        }
     )
+    tmp = os.path.join(p, f".tmp-{uuid.uuid4().hex}.parquet")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(p, f"manifest-{uuid.uuid4().hex}.parquet"))
 
 
 def _completed_units(spark: SparkSession, index_dir: str, stage: str) -> set[str]:
+    import pyarrow.parquet as pq
+
     p = os.path.join(index_dir, "lineage")
     if not os.path.exists(p):
         return set()
-    rows = (
-        spark.read.parquet(p)
-        .filter((F.col("stage") == stage) & (F.col("status") == "done"))
-        .select("unit")
-        .collect()
-    )
-    return {r["unit"] for r in rows}
+    out: set[str] = set()
+    for fn in os.listdir(p):
+        if not fn.endswith(".parquet") or fn.startswith("."):
+            continue
+        t = pq.read_table(os.path.join(p, fn), columns=["stage", "unit", "status"])
+        for s, u, st in zip(*(t.column(c).to_pylist() for c in ("stage", "unit", "status"))):
+            if s == stage and st == "done":
+                out.add(u)
+    return out
 
 
-def _pack_partial_fn(n_salts: int):
-    """Phase 1: pack one (shard,bucket,salt) group into per-term raw runs."""
+def _concat_batches(batches) -> pd.DataFrame | None:
+    parts = [p for p in batches if len(p)]
+    if not parts:
+        return None
+    return pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-        out = []
-        for term, g in pdf.groupby("term", sort=False):
-            out.append(
-                (
-                    term,
-                    int(g["shard"].iat[0]),
-                    int(g["bucket"].iat[0]),
-                    g["doc_id"].to_numpy(np.int64).tobytes(),
-                    g["tf"].to_numpy(np.int32).tobytes(),
-                    g["doclen"].to_numpy(np.int32).tobytes(),
-                )
+
+def _group_bounds(*key_arrays: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Start/end offsets of equal-key runs over pre-sorted parallel arrays."""
+    n = key_arrays[0].shape[0]
+    change = np.zeros(n - 1, dtype=bool) if n > 1 else np.zeros(0, dtype=bool)
+    for a in key_arrays:
+        change |= a[1:] != a[:-1]
+    idx = np.flatnonzero(change) + 1
+    return np.r_[0, idx], np.r_[idx, n]
+
+
+def _pack_partition_fn():
+    """Phase 1 (salted partials): one pass per PARTITION — sort by
+    (shard, term, doc_id), split runs with numpy boundary detection, pack raw
+    little-endian buffers. mapInPandas over repartition(p1, shard, salt)
+    avoids applyInPandas' per-group overhead entirely; partition count p1 is
+    an explicit knob, decoupled from spark.sql.shuffle.partitions."""
+
+    def pack(batches):
+        pdf = _concat_batches(batches)
+        if pdf is None:
+            return
+        pdf = pdf.sort_values(["shard", "term", "doc_id"], kind="mergesort", ignore_index=True)
+        shard = pdf["shard"].to_numpy(np.int32)
+        bucket = pdf["bucket"].to_numpy(np.int32)
+        terms = pdf["term"].to_numpy()
+        ids = np.ascontiguousarray(pdf["doc_id"].to_numpy(np.int64))
+        tfs = np.ascontiguousarray(pdf["tf"].to_numpy(np.int32))
+        dls = np.ascontiguousarray(pdf["doclen"].to_numpy(np.int32))
+        starts, ends = _group_bounds(shard, terms)
+        rows = [
+            (
+                terms[s], int(shard[s]), int(bucket[s]),
+                ids[s:e].tobytes(), tfs[s:e].tobytes(), dls[s:e].tobytes(),
             )
-        return pd.DataFrame(
-            out, columns=["term", "shard", "bucket", "docids", "tfs", "doclens"]
+            for s, e in zip(starts, ends)
+        ]
+        yield pd.DataFrame(
+            rows, columns=["term", "shard", "bucket", "docids", "tfs", "doclens"]
         )
 
     return pack
 
 
-def _merge_encode_fn(avgdl: float):
-    """Phase 2: k-way merge the salted partial runs per term, then encode.
+def _merge_partition_fn(avgdl: float):
+    """Phase 2: k-way merge the salted partial runs per (shard, term), then
+    varbyte+block-max encode. Partials are each doc_id-sorted but interleave
+    (salt hashes doc_id), so the merge is a sorted combine; (doc_id, term)
+    uniqueness is enforced by encode_postings' strictly-ascending contract."""
 
-    Partial runs are each sorted by doc_id but interleave (salt is a hash of
-    doc_id), so the merge is a sorted k-way combine; doc_ids are unique across
-    partials by construction ((doc_id, term) rows are unique), enforced by
-    encode_postings' strictly-ascending contract.
-    """
+    def merge(batches):
+        from .codec import encode_postings_many
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for term, g in pdf.groupby("term", sort=True):
-            ids = np.concatenate(
-                [np.frombuffer(b, dtype=np.int64) for b in g["docids"]]
+        pdf = _concat_batches(batches)
+        if pdf is None:
+            return
+        pdf = pdf.sort_values(["shard", "term"], kind="mergesort", ignore_index=True)
+        shard = pdf["shard"].to_numpy(np.int32)
+        terms = pdf["term"].to_numpy()
+        d_ids = pdf["docids"].to_numpy()
+        d_tfs = pdf["tfs"].to_numpy()
+        d_dls = pdf["doclens"].to_numpy()
+        g_starts, g_ends = _group_bounds(shard, terms)
+        # merge the salted partials per (shard, term) into one big sorted
+        # concatenation, then encode EVERY list in one vectorized pass
+        ids_parts, tfs_parts, dls_parts, lens = [], [], [], []
+        for s, e in zip(g_starts, g_ends):
+            if e - s == 1:
+                ids = np.frombuffer(d_ids[s], dtype=np.int64)
+                tfs = np.frombuffer(d_tfs[s], dtype=np.int32).astype(np.int64)
+                dls = np.frombuffer(d_dls[s], dtype=np.int32).astype(np.int64)
+                if not (ids[1:] > ids[:-1]).all():
+                    order = np.argsort(ids, kind="mergesort")
+                    ids, tfs, dls = ids[order], tfs[order], dls[order]
+            else:
+                ids = np.concatenate([np.frombuffer(b, dtype=np.int64) for b in d_ids[s:e]])
+                tfs = np.concatenate([np.frombuffer(b, dtype=np.int32) for b in d_tfs[s:e]]).astype(np.int64)
+                dls = np.concatenate([np.frombuffer(b, dtype=np.int32) for b in d_dls[s:e]]).astype(np.int64)
+                order = np.argsort(ids, kind="mergesort")
+                ids, tfs, dls = ids[order], tfs[order], dls[order]
+            ids_parts.append(ids)
+            tfs_parts.append(tfs)
+            dls_parts.append(dls)
+            lens.append(ids.size)
+        lens = np.asarray(lens, dtype=np.int64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        encs = encode_postings_many(
+            np.concatenate(ids_parts), np.concatenate(tfs_parts),
+            np.concatenate(dls_parts), starts, ends, avgdl,
+        )
+        out = [
+            (
+                terms[s], int(shard[s]), enc["n"], enc["docids"], enc["tfs"],
+                enc["doclens"], enc["blk_last"], enc["blk_max"],
+                enc["max_tfc"], enc["sum_tf"],
             )
-            tfs = np.concatenate([np.frombuffer(b, dtype=np.int32) for b in g["tfs"]])
-            dls = np.concatenate(
-                [np.frombuffer(b, dtype=np.int32) for b in g["doclens"]]
-            )
-            order = np.argsort(ids, kind="mergesort")
-            enc = encode_postings(ids[order], tfs[order], dls[order], avgdl)
-            out.append(
-                (
-                    term,
-                    int(g["shard"].iat[0]),
-                    enc["n"],
-                    enc["docids"],
-                    enc["tfs"],
-                    enc["doclens"],
-                    enc["blk_last"],
-                    enc["blk_max"],
-                    enc["max_tfc"],
-                    enc["sum_tf"],
-                )
-            )
-        return pd.DataFrame(
+            for (s, enc) in zip(g_starts, encs)
+        ]
+        yield pd.DataFrame(
             out,
             columns=[
                 "term", "shard", "n", "docids", "tfs", "doclens",
@@ -188,7 +263,8 @@ def build_index(
     segments_path = os.path.join(index_dir, "segments")
     terms_path = os.path.join(index_dir, "terms")
 
-    # ---- Stage A: tokenize -> tf rows, partitioned by shard -----------------
+    # ---- Stage A: tokenize ONCE -> tf rows, partitioned by shard ------------
+    par = spark.sparkContext.defaultParallelism
     if n_shards is None:
         n_docs_hint = docs.count()
         n_shards = max(4, min(4096, int(n_docs_hint // 250_000) + 4))
@@ -205,21 +281,32 @@ def build_index(
             .agg(F.count(F.lit(1)).alias("tf"), F.first("doclen").alias("doclen"))
             .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
         )
-        tf.write.mode("overwrite").partitionBy("shard").parquet(tokens_path)
+        # align write tasks with shard dirs: one file per shard dir instead of
+        # (tasks x shards) small files
+        tf.repartition(n_shards, "shard").write.mode("overwrite").partitionBy(
+            "shard"
+        ).parquet(tokens_path)
         _append_lineage(
             spark, index_dir,
             [("tokens", "-", "done", 0, 0, int((time.time() - t0) * 1000))],
         )
 
-    # ---- Stage B: doc_map + exact corpus stats ------------------------------
+    # ---- Stage B: doc_map + exact corpus stats (doclen from the tokens
+    # checkpoint — the text is never tokenized twice) -------------------------
     if not (resume and _done(doc_map_path)):
         t0 = time.time()
-        tokenize = tokenize_udf()
+        lens = (
+            spark.read.parquet(tokens_path)
+            .groupBy("doc_id")
+            .agg(F.first("doclen").alias("doclen"))
+        )
         cols = [F.col(id_col).cast("long").alias("doc_id")]
         if url_col:
             cols.append(F.col(url_col).alias("url"))
-        dm = docs.select(
-            *cols, F.size(tokenize(F.col(text_col))).alias("doclen")
+        dm = (
+            docs.select(*cols)
+            .join(lens, "doc_id", "left")
+            .fillna(0, subset=["doclen"])  # zero-token docs still count in N
         )
         dm.write.mode("overwrite").parquet(doc_map_path)
         _append_lineage(
@@ -252,15 +339,24 @@ def build_index(
         ).withColumn(
             "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")
         )
-        partial = tf.groupBy("shard", "bucket", "salt").applyInPandas(
-            _pack_partial_fn(n_salts), schema=PARTIAL_SCHEMA
+        # salted two-phase build, explicit partition counts (NOT coupled to
+        # spark.sql.shuffle.partitions): phase 1 reduces token rows to packed
+        # per-(term,shard,salt) runs so no reducer ever receives a raw head
+        # term; phase 2 k-way merges the salted runs per (shard, term)
+        p1 = max(2 * par, n_salts)
+        p2 = max(par, 4)
+        partial = tf.repartition(p1, "shard", "salt").mapInPandas(
+            _pack_partition_fn(), schema=PARTIAL_SCHEMA
         )
-        segs = partial.groupBy("shard", "bucket").applyInPandas(
-            _merge_encode_fn(avgdl), schema=SEGMENT_SCHEMA
+        segs = partial.repartition(p2, "shard", "bucket").mapInPandas(
+            _merge_partition_fn(avgdl), schema=SEGMENT_SCHEMA
         )
-        segs.write.mode("append").partitionBy("shard").parquet(segments_path)
-        written = spark.read.parquet(segments_path).filter(
-            F.col("shard").isin(shard_list)
+        # write-aligned: one task per shard dir (encoded payloads are compact)
+        segs.repartition(len(shard_list), "shard").write.mode("append").partitionBy(
+            "shard"
+        ).parquet(segments_path)
+        written = spark.read.option("basePath", segments_path).parquet(
+            *[os.path.join(segments_path, f"shard={s}") for s in shard_list]
         )
         m = written.agg(
             F.sum("n").alias("postings"),

@@ -28,11 +28,11 @@ _U64 = np.uint64
 _THRESH = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
 
 
-def vb_encode(values: np.ndarray) -> bytes:
-    """MSB-continuation varbyte; vectorized (<= 10 passes, one per byte pos)."""
+def _vb_encode_arr(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized varbyte: (byte buffer, per-value END byte offsets)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     nbytes = np.ones(v.shape, dtype=np.int64)
     for t in _THRESH:
         nbytes += (v >= t).astype(np.int64)
@@ -47,6 +47,12 @@ def vb_encode(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> _U64(7 * j)).astype(np.uint64) & _U64(0x7F)
         cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
         out[idx] = chunk.astype(np.uint8) | cont
+    return out, ends
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """MSB-continuation varbyte; vectorized (<= 10 passes, one per byte pos)."""
+    out, _ = _vb_encode_arr(values)
     return out.tobytes()
 
 
@@ -73,45 +79,103 @@ def vb_decode(buf: bytes | np.ndarray) -> np.ndarray:
 def encode_postings(
     doc_ids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray, avgdl: float
 ) -> dict:
-    """Encode one sorted posting run; returns the segment-row payload dict."""
-    from ..query.bm25 import tf_component
+    """Encode one sorted posting run (single-list wrapper of the vectorized
+    many-list encoder, so bytes are identical by construction).
 
+    Strictly-ascending contract mirrors the reference store's read-order
+    guarantee (/root/reference/src/feature/store/test_feature_store.py:75-102);
+    gap arithmetic is mod-2^64 so full-range int64 ids (e.g. xxhash64) work.
+    """
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     n = doc_ids.size
     assert n > 0
-    # strictly ascending contract (mirrors the reference store's read-order
-    # guarantee, /root/reference/src/feature/store/test_feature_store.py:75-102).
-    # Element-wise comparison, NOT np.diff — diffs of full-range int64 ids
-    # (e.g. xxhash64 doc ids) overflow.
-    if n > 1 and not (doc_ids[1:] > doc_ids[:-1]).all():
-        raise ValueError("doc_ids must be strictly ascending and unique")
-    # gaps in mod-2^64 arithmetic: correct for any int64 ids; decode cumsums
-    # in uint64 and reinterprets as int64
-    u = doc_ids.view(np.uint64) if doc_ids.flags.c_contiguous else doc_ids.astype(np.int64).view(np.uint64)
-    gaps = np.empty(n, dtype=np.uint64)
-    gaps[0] = u[0]
-    if n > 1:
-        with np.errstate(over="ignore"):
-            gaps[1:] = u[1:] - u[:-1]
-    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
-    doclens = np.ascontiguousarray(doclens, dtype=np.int64)
-    tfc = tf_component(tfs, doclens, avgdl)
-    n_blocks = (n + BLOCK - 1) // BLOCK
-    blk_last = doc_ids[np.minimum(np.arange(1, n_blocks + 1) * BLOCK - 1, n - 1)]
-    blk_max = np.array(
-        [tfc[i * BLOCK : (i + 1) * BLOCK].max() for i in range(n_blocks)],
-        dtype=np.float64,
+    out = encode_postings_many(
+        doc_ids, tfs, doclens,
+        np.array([0], dtype=np.int64), np.array([n], dtype=np.int64), avgdl,
     )
-    return {
-        "n": int(n),
-        "docids": vb_encode(gaps),
-        "tfs": vb_encode((tfs - 1).astype(np.uint64)),
-        "doclens": vb_encode(doclens.astype(np.uint64)),
-        "blk_last": blk_last.tolist(),
-        "blk_max": blk_max.tolist(),
-        "max_tfc": float(tfc.max()),
-        "sum_tf": int(tfs.sum()),
-    }
+    return out[0]
+
+
+def encode_postings_many(
+    ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    avgdl: float,
+) -> list[dict]:
+    """Encode MANY posting lists in one vectorized pass.
+
+    ids/tfs/dls are the concatenation of all lists; (starts, ends) delimit
+    each list. This is the hot path of the index build: varbyte encoding,
+    tf-components, and block maxima are computed across every list at once
+    (numpy reduceat), then sliced per list — no per-list Python arithmetic.
+    """
+    from ..query.bm25 import tf_component
+
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    n_total = ids.size
+    if n_total == 0:
+        return []
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    # ascending-within-list contract
+    is_start = np.zeros(n_total, dtype=bool)
+    is_start[starts] = True
+    if n_total > 1:
+        bad = ~(ids[1:] > ids[:-1]) & ~is_start[1:]
+        if bad.any():
+            raise ValueError("doc_ids must be strictly ascending and unique")
+    # gaps mod 2^64; list-leading values stored absolute
+    u = ids.view(np.uint64)
+    gaps = np.empty(n_total, dtype=np.uint64)
+    gaps[0] = u[0]
+    with np.errstate(over="ignore"):
+        gaps[1:] = u[1:] - u[:-1]
+    gaps[starts] = u[starts]
+    buf_g, off_g = _vb_encode_arr(gaps)
+    buf_t, off_t = _vb_encode_arr((tfs - 1).astype(np.uint64))
+    buf_d, off_d = _vb_encode_arr(dls.astype(np.uint64))
+    tfc = tf_component(tfs, dls, avgdl)
+    # per-list whole aggregates
+    max_tfc = np.maximum.reduceat(tfc, starts)
+    sum_tf = np.add.reduceat(tfs, starts)
+    # block starts across every list: start_i + BLOCK*j
+    lens = ends - starts
+    nblk = (lens + BLOCK - 1) // BLOCK
+    rep_starts = np.repeat(starts, nblk)
+    within = np.concatenate([np.arange(k, dtype=np.int64) for k in nblk]) if nblk.size else np.empty(0, np.int64)
+    blockstarts = rep_starts + within * BLOCK
+    blk_max_all = np.maximum.reduceat(tfc, blockstarts) if blockstarts.size else np.empty(0)
+    blk_end_idx = np.minimum(blockstarts + BLOCK, np.repeat(ends, nblk)) - 1
+    blk_last_all = ids[blk_end_idx]
+    blk_bounds = np.r_[0, np.cumsum(nblk)]
+    # byte ranges per list (end offsets of the value BEFORE each list start)
+    def byte_range(off: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        bstart = np.where(starts > 0, off[starts - 1], 0)
+        bend = off[ends - 1]
+        return bstart, bend
+    gs, ge = byte_range(off_g)
+    ts_, te = byte_range(off_t)
+    ds_, de = byte_range(off_d)
+    gbytes, tbytes, dbytes = buf_g.tobytes(), buf_t.tobytes(), buf_d.tobytes()
+    out = []
+    for i in range(starts.size):
+        out.append(
+            {
+                "n": int(lens[i]),
+                "docids": gbytes[gs[i]:ge[i]],
+                "tfs": tbytes[ts_[i]:te[i]],
+                "doclens": dbytes[ds_[i]:de[i]],
+                "blk_last": blk_last_all[blk_bounds[i]:blk_bounds[i + 1]].tolist(),
+                "blk_max": blk_max_all[blk_bounds[i]:blk_bounds[i + 1]].tolist(),
+                "max_tfc": float(max_tfc[i]),
+                "sum_tf": int(sum_tf[i]),
+            }
+        )
+    return out
 
 
 def decode_postings(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -28,17 +28,41 @@ from .build import IndexMeta
 from .wand import score_shard_taat, score_shard_wand
 
 
+def _concat(batches) -> pd.DataFrame | None:
+    parts = [p for p in batches if len(p)]
+    if not parts:
+        return None
+    return pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+
+
 class FtsIndex:
-    def __init__(self, spark: SparkSession, index_dir: str, meta: IndexMeta):
+    def __init__(
+        self, spark: SparkSession, index_dir: str, meta: IndexMeta, cache: bool = False
+    ):
         self.spark = spark
         self.index_dir = index_dir
         self.meta = meta
         self._segments = spark.read.parquet(os.path.join(index_dir, "segments"))
         self._terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+        self._df_cache: dict[str, int] | None = None
+        if cache:
+            # serving mode: pin segments in executor memory (the reference
+            # copies its hot index to :memory: the same way,
+            # /root/reference/src/index/sqlite_search_index.py:94-98) and the
+            # term->df stats in DRIVER memory (read via pyarrow, no Spark
+            # job) so each query costs exactly one Spark job
+            # sort within partitions by term before caching: the in-memory
+            # columnar batches keep min/max stats per batch, so the term
+            # filter prunes cached batches instead of scanning them all
+            self._segments = self._segments.sortWithinPartitions("term").cache()
+            self._df_cache = self._load_df_stats(index_dir)
+        # per-query scoring parallelism: enough tasks to spread shards, few
+        # enough that task/python-worker overhead stays off the latency path
+        self._query_partitions = max(2, min(meta.n_shards, spark.sparkContext.defaultParallelism))
 
     @classmethod
-    def load(cls, spark: SparkSession, index_dir: str) -> "FtsIndex":
-        return cls(spark, index_dir, IndexMeta.load(index_dir))
+    def load(cls, spark: SparkSession, index_dir: str, cache: bool = False) -> "FtsIndex":
+        return cls(spark, index_dir, IndexMeta.load(index_dir), cache=cache)
 
     # -- plumbing ------------------------------------------------------------
 
@@ -51,10 +75,20 @@ class FtsIndex:
     def query_terms(self, query: str) -> list[str]:
         return sorted(set(tokenize_text(query)))
 
+    @staticmethod
+    def _load_df_stats(index_dir: str) -> dict[str, int]:
+        import pyarrow.dataset as ds
+
+        t = ds.dataset(os.path.join(index_dir, "terms")).to_table(columns=["term", "df"])
+        return dict(zip(t.column("term").to_pylist(), t.column("df").to_pylist()))
+
     def term_stats(self, terms: list[str]) -> dict[str, int]:
-        """Exact df per query term; min/max-pruned parquet scan, tiny result."""
+        """Exact df per query term; driver dict in serving mode, else a
+        min/max-pruned parquet scan (tiny result)."""
         if not terms:
             return {}
+        if self._df_cache is not None:
+            return {t: self._df_cache[t] for t in terms if t in self._df_cache}
         rows = self._terms.filter(F.col("term").isin(terms)).collect()
         return {r["term"]: int(r["df"]) for r in rows}
 
@@ -66,6 +100,14 @@ class FtsIndex:
 
     def _matched_segments(self, terms: list[str]) -> DataFrame:
         return self._segments.filter(F.col("term").isin(terms))
+
+    def _shard_partitioned(self, terms: list[str]) -> DataFrame:
+        """Matched posting rows, hash-distributed by shard over a small
+        explicit partition count (a whole shard never splits — each shard's
+        scores are computed completely and locally)."""
+        return self._matched_segments(terms).repartition(
+            self._query_partitions, "shard"
+        )
 
     def score_all(self, query: str, mode: str = "all") -> DataFrame:
         """Exhaustive index-accelerated scoring: all matching (doc_id, score).
@@ -80,13 +122,15 @@ class FtsIndex:
             return empty
         avgdl, n_terms = self.meta.avgdl, len(terms)
 
-        def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            return score_shard_taat(pdf, idfs, avgdl, n_terms, mode)
+        def run(batches):
+            pdf = _concat(batches)
+            if pdf is None:
+                return
+            for _, g in pdf.groupby("shard", sort=False):
+                yield score_shard_taat(g, idfs, avgdl, n_terms, mode)
 
-        return (
-            self._matched_segments(list(idfs))
-            .groupBy("shard")
-            .applyInPandas(run, schema="doc_id long, score double")
+        return self._shard_partitioned(list(idfs)).mapInPandas(
+            run, schema="doc_id long, score double"
         )
 
     def topk(
@@ -105,20 +149,25 @@ class FtsIndex:
         avgdl, n_terms = self.meta.avgdl, len(terms)
 
         if method == "wand":
-            def run(pdf: pd.DataFrame) -> pd.DataFrame:
-                return score_shard_wand(pdf, idfs, avgdl, n_terms, mode, k)
+            def kern(g: pd.DataFrame) -> pd.DataFrame:
+                return score_shard_wand(g, idfs, avgdl, n_terms, mode, k)
         else:
-            def run(pdf: pd.DataFrame) -> pd.DataFrame:
-                out = score_shard_taat(pdf, idfs, avgdl, n_terms, mode)
+            def kern(g: pd.DataFrame) -> pd.DataFrame:
+                out = score_shard_taat(g, idfs, avgdl, n_terms, mode)
                 out = out.sort_values(
                     ["score", "doc_id"], ascending=[False, True], kind="mergesort"
                 )
                 return out.head(k)
 
-        local = (
-            self._matched_segments(list(idfs))
-            .groupBy("shard")
-            .applyInPandas(run, schema="doc_id long, score double")
+        def run(batches):
+            pdf = _concat(batches)
+            if pdf is None:
+                return
+            for _, g in pdf.groupby("shard", sort=False):
+                yield kern(g)
+
+        local = self._shard_partitioned(list(idfs)).mapInPandas(
+            run, schema="doc_id long, score double"
         )
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 

@@ -161,8 +161,9 @@ def _bmw_any(lists: list[dict], k: int) -> pd.DataFrame:
             p = ptr[i]
             if x["ids"][p] > pivot_doc:
                 break
+            # block containing pivot_doc; lists exhausted before pivot add 0
             blk = int(np.searchsorted(x["blk_last"], pivot_doc, side="left"))
-            if blk < x["blk_max"].size and x["ids"][min(p + 0, sizes[i] - 1)] <= pivot_doc:
+            if blk < x["blk_max"].size:
                 bub += float(x["blk_max"][blk])
         if len(heap) == k and bub <= threshold:
             # skip: advance the lagging lists past this pivot's block boundary

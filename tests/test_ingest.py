@@ -1,0 +1,52 @@
+"""Ingest lifecycle: byte-identical extraction, quarantine split + counts,
+duplicate-url dedup keeping latest warc_ts (FIXTURES.md section 6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from wise_spark.data.corpus import corpus_pandas
+from wise_spark.sources import ingest_html
+from wise_spark.sources.ingest import quarantine_counts
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    pdf = corpus_pandas(
+        np.arange(120), seed=42, vocab_size=2000, invalid_every=20, dup_url_every=0
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_ingest_split_and_byte_identity(spark, raw):
+    res = ingest_html(raw, allowed_langs=["en", "de", "fr"])
+    docs = res.docs.toPandas()
+    q = quarantine_counts(res)
+    # invalid_every=20 -> doc_ids 18,38,58,78,98,118 are undecodable
+    assert q.get("invalid_utf8", 0) == 6
+    assert q.get("lang_filtered", 0) > 0  # the 'zz' rows
+    assert len(docs) + sum(q.values()) == 120
+    # byte identity on every surviving row
+    assert (docs["extracted_text"] == docs["text"]).all()
+
+
+def test_ingest_dedups_urls_latest_wins(spark):
+    pdf = corpus_pandas(np.arange(60), seed=42, vocab_size=2000, dup_url_every=10)
+    raw = spark.createDataFrame(pdf)
+    res = ingest_html(raw)
+    docs = res.docs.toPandas()
+    assert docs["url"].is_unique
+    # dup rows point at the PREVIOUS doc's url with a later warc_ts ->
+    # the later (duplicate) row must win
+    dup_urls = pdf[pdf.duplicated("url", keep=False)]
+    for url, grp in dup_urls.groupby("url"):
+        kept = docs[docs["url"] == url]
+        assert len(kept) == 1
+        assert kept["warc_ts"].iloc[0] == grp["warc_ts"].max()
+
+
+def test_ingest_no_lang_filter(spark, raw):
+    res = ingest_html(raw)  # no allowed_langs -> only utf8 validity applies
+    q = quarantine_counts(res)
+    assert set(q) == {"invalid_utf8"}

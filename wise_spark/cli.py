@@ -1,0 +1,145 @@
+"""CLI mirroring the reference's entry points on Spark:
+
+  build   — extract-features.py + create-index.py in one staged, resumable
+            job (/root/reference/extract-features.py, create-index.py)
+  search  — search.py's `--query Q [--not-query Q2] [--queries-from f.csv]
+            [--export out] [--topk K]` surface
+            (/root/reference/search.py:670-768), incl. the blocklist file
+            (/root/reference/serve.py:33-42) and the reference CSV export
+            header analog (query,rank,doc_id,score).
+
+Run via spark-submit --py-files wise_spark.zip, or plain python (the session
+helper ships the package itself):
+
+  python -m wise_spark.cli build  --input /data/corpus --index-dir /data/idx
+  python -m wise_spark.cli search --index-dir /data/idx --query "foo bar" \\
+      --not-query "baz" --topk 20 --export /tmp/out_csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+import time
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--master", default=None, help="Spark master (default: inherit)")
+    p.add_argument("--shuffle-partitions", type=int, default=32)
+
+
+def cmd_build(args) -> int:
+    from .index import build_index
+    from .session import get_spark
+    from .sources import ingest_html, read_corpus
+
+    spark = get_spark(args.master, "wise_build", args.shuffle_partitions)
+    docs = read_corpus(spark, args.input, args.format)
+    if args.html_col:
+        res = ingest_html(docs, html_col=args.html_col, url_col=args.id_col)
+        n_bad = res.quarantine.count()
+        print(f"quarantined rows: {n_bad}", file=sys.stderr)
+        # the source may carry its own text column; the extracted one wins
+        docs = res.docs.drop("text").withColumnRenamed("extracted_text", "text")
+    meta = build_index(
+        docs,
+        args.index_dir,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        url_col=args.url_col,
+        n_shards=args.n_shards,
+        n_waves=args.n_waves,
+    )
+    print(
+        f"built: N={meta.n_docs} avgdl={meta.avgdl:.2f} terms={meta.n_terms} "
+        f"shards={meta.n_shards} -> {args.index_dir}"
+    )
+    return 0
+
+
+def cmd_search(args) -> int:
+    from .index import FtsIndex
+    from .query.search import BlockedQueryError, export_csv, ranked, search
+    from .session import get_spark
+
+    spark = get_spark(args.master, "wise_search", args.shuffle_partitions)
+    idx = FtsIndex.load(spark, args.index_dir, cache=not args.no_cache)
+    blocklist: set[str] | None = None
+    if args.blocklist:
+        with open(args.blocklist) as f:
+            blocklist = {ln.strip() for ln in f if ln.strip()}
+
+    queries: list[tuple[str, str]] = []
+    if args.queries_from:
+        with open(args.queries_from) as f:
+            for row in csv.DictReader(f):
+                queries.append((row["query_id"], row["query_text"]))
+    if args.query:
+        queries.append(("q0", args.query))
+    if not queries:
+        print("no query given (--query or --queries-from)", file=sys.stderr)
+        return 2
+
+    rc = 0
+    for qid, qtext in queries:
+        t0 = time.time()
+        try:
+            res = search(
+                idx.scorer(), qtext, k=args.topk, mode=args.mode,
+                not_query=args.not_query, blocklist=blocklist,
+            )
+            if args.hydrate:
+                res = ranked(idx.hydrate(res), k=args.topk)
+            rows = res.collect()
+        except BlockedQueryError as e:
+            print(f"{qid}: BLOCKED ({e})", file=sys.stderr)
+            rc = 3
+            continue
+        dt = time.time() - t0
+        print(f"# {qid} '{qtext}' -> {len(rows)} hits in {dt:.3f}s")
+        for r in rows:
+            url = f",{r['url']}" if "url" in r.asDict() else ""
+            print(f"{qid},{r['rank']},{r['doc_id']}{url},{r['score']!r}")
+        if args.export:
+            export_csv(res.select("doc_id", "score", "rank"), f"{args.export}/{qid}", qid)
+    return rc
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="wise_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--id-col", default="doc_id")
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--url-col", default=None)
+    b.add_argument("--html-col", default=None, help="extract text from this binary column first")
+    b.add_argument("--n-shards", type=int, default=None)
+    b.add_argument("--n-waves", type=int, default=4)
+    _add_common(b)
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="top-k BM25 search")
+    s.add_argument("--index-dir", required=True)
+    s.add_argument("--query", default=None)
+    s.add_argument("--not-query", default=None, help="NOT-IN subtract query")
+    s.add_argument("--queries-from", default=None, help="CSV: query_id,query_text")
+    s.add_argument("--mode", default="all", choices=["all", "any"])
+    s.add_argument("--topk", type=int, default=10)
+    s.add_argument("--export", default=None, help="export dir for per-query CSV")
+    s.add_argument("--blocklist", default=None, help="file with one blocked query per line")
+    s.add_argument("--hydrate", action="store_true", help="join url/doclen metadata")
+    s.add_argument("--no-cache", action="store_true")
+    _add_common(s)
+    s.set_defaults(fn=cmd_search)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

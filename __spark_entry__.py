@@ -188,6 +188,59 @@ def q_ft_or_merge(spark, sf_dir):
     )
 
 
+def q_ft_bm25_wand_all(spark, sf_dir):
+    _ship(spark)
+    idx = _get_index(spark, sf_dir)
+    pool = idx.topk(" ".join(_Q2), k=100, mode="all", method="wand")
+    return (
+        pool.withColumn("score", F.round("score", 9))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+def q_ft_parsed_and(spark, sf_dir):
+    from wise_spark.query.naive import score_query
+    from wise_spark.query.parser import execute, parse_query
+
+    c = _ft_corpus(spark, sf_dir)
+    scorers = {"text": lambda q, m: score_query(c, q, m)}
+    rel = execute(parse_query("spark in text and merge in text", ["text"]), scorers, mode="any")
+    return (
+        rel.withColumn("score", F.round("score", 9))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+def q_dedup_minhash_signatures(spark, sf_dir):
+    from wise_spark.pipeline import minhash_signatures
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(F.col("doc_id") < 200)
+    return minhash_signatures(d, n=3)
+
+
+def q_rel_ordered_lookup(spark, sf_dir):
+    from wise_spark.pipeline.relational import ordered_lookup
+
+    c = _t(spark, sf_dir, "customer")
+    ids = [30, 5, 12, 1, 44]
+    return ordered_lookup(ids, c.select("c_custkey", "c_name"), "c_custkey").select(
+        "c_custkey", "c_name", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def q_emb_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, v: a + v * v)), 6).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )
+
+
 def q_ft_corpus_stats(spark, sf_dir):
     from wise_spark.analyzer import tokenize_udf
 
@@ -396,6 +449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk_any": q_ft_bm25_topk_any,
         "ft_bm25_topk_all": q_ft_bm25_topk_all,
         "ft_bm25_wand": q_ft_bm25_wand,
+        "ft_bm25_wand_all": q_ft_bm25_wand_all,
+        "ft_parsed_and": q_ft_parsed_and,
         "ft_not_in": q_ft_not_in,
         "ft_and_merge": q_ft_and_merge,
         "ft_or_merge": q_ft_or_merge,
@@ -405,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_simhash": q_dedup_simhash,
         "text_fingerprints": q_text_fingerprints,
         "text_quality": q_text_quality,
@@ -414,6 +470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_binary_metadata": q_mm_binary_metadata,
         "rel_sessionize": q_rel_sessionize,
         "rel_best_event_per_user": q_rel_best_event_per_user,
+        "rel_ordered_lookup": q_rel_ordered_lookup,
+        "emb_norms": q_emb_norms,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_customers": q_rel_top_customers,
         "rel_customers_without_orders": q_rel_customers_without_orders,
@@ -425,6 +483,24 @@ def oracle_sql() -> dict[str, str]:
     sqls["ft_bm25_topk_any"] = _bm25_topk_sql(_Q1, 50, "any")
     sqls["ft_bm25_topk_all"] = _bm25_topk_sql(_Q2, 50, "all")
     sqls["ft_bm25_wand"] = _bm25_topk_sql(_Q1, 50, "any")
+    sqls["ft_bm25_wand_all"] = _bm25_topk_sql(_Q2, 50, "all")
+    sqls["ft_parsed_and"] = f"""
+WITH {_TOK_CTE}, {_bm25_score_cte(["spark"], "sa")}, {_bm25_score_cte(["merge"], "sb")}
+SELECT sa.doc_id, round(sa.score + sb.score, 9) AS score
+FROM sa JOIN sb USING(doc_id)
+ORDER BY round(sa.score + sb.score, 9) DESC, doc_id ASC LIMIT 50
+"""
+    sqls["rel_ordered_lookup"] = """
+WITH ranks(c_custkey, rank) AS (VALUES (30, 0), (5, 1), (12, 2), (1, 3), (44, 4))
+SELECT c.c_custkey, c.c_name, CAST(r.rank AS INT) AS rank
+FROM ranks r LEFT JOIN customer c USING (c_custkey)
+"""
+    sqls["emb_norms"] = """
+SELECT vec_id, label,
+       round(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), 'sum')), 6) AS l2_norm,
+       CAST(len(embedding) AS INT) AS dim
+FROM embeddings
+"""
     sqls["ft_not_in"] = f"""
 WITH {_TOK_CTE}, {_bm25_score_cte(["spark"], "s")}
 SELECT doc_id, round(score, 9) AS score FROM s
@@ -518,6 +594,12 @@ WITH tf AS (
 ),
 votes AS (SELECT doc_id, {bit_votes} FROM tf GROUP BY doc_id)
 SELECT doc_id, {bit_concat} AS simhash FROM votes
+"""
+    _SHINGLE200 = _SHINGLE_CTE.replace(_DUP_SQL, "(SELECT doc_id, text FROM documents WHERE doc_id < 200)")
+    sqls["dedup_minhash_signatures"] = f"""
+WITH {_SHINGLE200}
+SELECT doc_id, {", ".join(f"{_h(i)} AS h{i}" for i in range(8))}
+FROM sh GROUP BY doc_id
 """
     sqls["text_fingerprints"] = f"""
 SELECT doc_id,

@@ -151,9 +151,15 @@ def run_scaling(n_docs: int, cores_list: list[int]):
     for cores in cores_list:
         best = None
         for r in range(repeats):
+            cmd = [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cores)]
+            if shutil.which("taskset"):
+                # pin the WHOLE process tree (JVM + python UDF workers) to
+                # exactly `cores` CPUs — local[N] alone only caps JVM task
+                # slots while python workers pipeline on other cores, which
+                # overstates low-N throughput
+                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
             p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cores)],
-                capture_output=True, text=True,
+                cmd, capture_output=True, text=True,
                 env={**os.environ, "SPARK_GRAFT_BENCH_DOCS": str(n_docs)},
             )
             line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else ""
@@ -191,9 +197,10 @@ def write_bench_md(n_docs: int, scaling: dict, effs: dict, capacity: dict, cap_e
 Same job — full inverted-index build (tokenize -> salted posting build ->
 varbyte+block-max segments -> exact stats) over the identical deterministic
 synthetic corpus parquet ({n_docs} docs) — run at each parallelism level in
-its own process, best of 2 runs (this sandbox has noisy-neighbor load);
-only the core count changes (fixed n_shards=32, n_buckets=32, n_salts=4,
-n_waves=2). Query latency is block-max WAND top-10 over the 20-query
+its own process pinned with `taskset -c` to exactly that many CPUs (the
+whole tree: JVM + python UDF workers — local[N] alone only caps JVM task
+slots), best of 2 runs (this sandbox has noisy-neighbor load); only the
+core count changes (fixed n_shards=32, n_buckets=32, n_salts=4, n_waves=2). Query latency is block-max WAND top-10 over the 20-query
 reference set on the cached index.
 
 | parallelism | build wall (s) | build docs/sec | query p50 (s) | query p99 (s) |
@@ -225,11 +232,11 @@ executor brings its own cores and disks.
 
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--scale-worker":
-        scale_worker(int(sys.argv[2]), int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "150000")))
+        scale_worker(int(sys.argv[2]), int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000")))
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "150000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
 
     log(f"== headline queries @ {sf_dir} on local[{cpus}] ==")

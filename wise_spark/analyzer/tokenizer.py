@@ -52,3 +52,37 @@ def tokenize_udf():
         return _tokenize_series(s)
 
     return tokenize
+
+
+def term_counts_udf():
+    """Scalar pandas_udf: text -> struct(doclen, counts: array<(term, tf)>).
+
+    Map-side tf computation: a document's term frequencies are purely local,
+    so counting inside the UDF removes the groupBy(doc_id, term) shuffle from
+    the index build — the exchange that would otherwise move one row per raw
+    token. doclen counts ALL tokens (FTS5 column-size semantics)."""
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    schema = (
+        "struct<doclen:int, counts:array<struct<term:string, tf:int>>>"
+    )
+
+    def one(text: str):
+        toks = tokenize_text(text)
+        c = Counter(toks)
+        return {
+            "doclen": len(toks),
+            "counts": [{"term": t, "tf": n} for t, n in c.items()],
+        }
+
+    @pandas_udf(schema)
+    def term_counts(s: pd.Series) -> pd.DataFrame:
+        out = s.map(one, na_action=None)
+        return pd.DataFrame(
+            {"doclen": out.map(lambda d: d["doclen"]),
+             "counts": out.map(lambda d: d["counts"])}
+        )
+
+    return term_counts

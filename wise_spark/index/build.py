@@ -142,6 +142,35 @@ def _group_bounds(*key_arrays: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return np.r_[0, idx], np.r_[idx, n]
 
 
+def _wave_metrics(segments_path: str, shard_list: list[int]) -> tuple[int, int]:
+    """Per-wave lineage metrics from parquet footers + one tiny column read
+    (no Spark job): postings = sum of 'n'; bytes = compressed payload size of
+    the three varbyte columns from column-chunk metadata."""
+    import pyarrow.parquet as pq
+
+    postings = 0
+    nbytes = 0
+    payload_cols = {"docids", "tfs", "doclens"}
+    for s in shard_list:
+        d = os.path.join(segments_path, f"shard={s}")
+        if not os.path.isdir(d):
+            continue
+        for fn in os.listdir(d):
+            if not fn.endswith(".parquet"):
+                continue
+            pf = pq.ParquetFile(os.path.join(d, fn))
+            t = pf.read(columns=["n"])
+            postings += int(t.column("n").to_pandas().sum())
+            md = pf.metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.path_in_schema in payload_cols:
+                        nbytes += col.total_compressed_size
+    return postings, nbytes
+
+
 def _pack_partition_fn():
     """Phase 1 (salted partials): one pass per PARTITION — sort by
     (shard, term, doc_id), split runs with numpy boundary detection, pack raw
@@ -256,7 +285,6 @@ def build_index(
 ) -> IndexMeta:
     spark = docs.sparkSession
     os.makedirs(index_dir, exist_ok=True)
-    from ..analyzer import tokenize_udf
 
     tokens_path = os.path.join(index_dir, "tokens")
     doc_map_path = os.path.join(index_dir, "doc_map")
@@ -270,19 +298,30 @@ def build_index(
         n_shards = max(4, min(4096, int(n_docs_hint // 250_000) + 4))
     if not (resume and _done(tokens_path)):
         t0 = time.time()
-        tokenize = tokenize_udf()
-        toks = docs.select(
+        from ..analyzer.tokenizer import term_counts_udf
+
+        # map-side tf: term frequencies are doc-local, counted inside the
+        # Arrow UDF — NO groupBy(doc_id, term) exchange; the only shuffle in
+        # this stage is the shard-aligned repartition before the write
+        tc = term_counts_udf()
+        counted = docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
-            tokenize(F.col(text_col)).alias("toks"),
-        ).withColumn("doclen", F.size("toks"))
+            tc(F.col(text_col)).alias("tc"),
+        )
         tf = (
-            toks.select("doc_id", "doclen", F.explode("toks").alias("term"))
-            .groupBy("doc_id", "term")
-            .agg(F.count(F.lit(1)).alias("tf"), F.first("doclen").alias("doclen"))
+            counted.select(
+                "doc_id",
+                F.col("tc.doclen").cast("long").alias("doclen"),
+                F.explode("tc.counts").alias("kv"),
+            )
+            .select(
+                "doc_id",
+                F.col("kv.term").alias("term"),
+                F.col("kv.tf").cast("long").alias("tf"),
+                "doclen",
+            )
             .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
         )
-        # align write tasks with shard dirs: one file per shard dir instead of
-        # (tasks x shards) small files
         tf.repartition(n_shards, "shard").write.mode("overwrite").partitionBy(
             "shard"
         ).parquet(tokens_path)
@@ -313,14 +352,17 @@ def build_index(
             spark, index_dir,
             [("doc_map", "-", "done", 0, 0, int((time.time() - t0) * 1000))],
         )
-    dm = spark.read.parquet(doc_map_path)
-    srow = dm.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("doclen").alias("avgdl"),
-        F.sum("doclen").alias("total"),
-    ).collect()[0]
-    n_docs, avgdl = int(srow["n"]), float(srow["avgdl"] or 0.0)
-    total_tokens = int(srow["total"] or 0)
+    # exact corpus stats via a driver-side pyarrow column read (doclen only,
+    # 8 bytes/doc) — no Spark job. At 10^12 docs swap for one Spark agg; the
+    # crossover is a size check, the semantics are identical (exact).
+    import pyarrow.dataset as _ds
+
+    _dl = _ds.dataset(doc_map_path).to_table(columns=["doclen"]).column("doclen")
+    import pyarrow.compute as _pc
+
+    n_docs = len(_dl)
+    total_tokens = int(_pc.sum(_dl).as_py() or 0)
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
     # ---- Stage C: salted two-phase posting build, per shard-wave ------------
     done_units = _completed_units(spark, index_dir, "segments") if resume else set()
@@ -355,18 +397,11 @@ def build_index(
         segs.repartition(len(shard_list), "shard").write.mode("append").partitionBy(
             "shard"
         ).parquet(segments_path)
-        written = spark.read.option("basePath", segments_path).parquet(
-            *[os.path.join(segments_path, f"shard={s}") for s in shard_list]
-        )
-        m = written.agg(
-            F.sum("n").alias("postings"),
-            (F.sum(F.octet_length("docids")) + F.sum(F.octet_length("tfs"))
-             + F.sum(F.octet_length("doclens"))).alias("bytes"),
-        ).collect()[0]
+        postings, nbytes = _wave_metrics(segments_path, shard_list)
         _append_lineage(
             spark, index_dir,
-            [("segments", unit, "done", int(m["postings"] or 0),
-              int(m["bytes"] or 0), int((time.time() - t0) * 1000))],
+            [("segments", unit, "done", postings, nbytes,
+              int((time.time() - t0) * 1000))],
         )
 
     # ---- Stage D: exact term df table (range-partitioned, sorted) -----------
@@ -388,7 +423,15 @@ def build_index(
             [("terms", "-", "done", 0, 0, int((time.time() - t0) * 1000))],
         )
 
-    n_terms = spark.read.parquet(terms_path).count()
+    # row count from parquet footers only — no Spark job, no data read
+    import pyarrow.parquet as _pq
+
+    n_terms = sum(
+        _pq.ParquetFile(os.path.join(dp, fn)).metadata.num_rows
+        for dp, _, fns in os.walk(terms_path)
+        for fn in fns
+        if fn.endswith(".parquet")
+    )
     meta = IndexMeta(
         n_docs=n_docs,
         avgdl=avgdl,

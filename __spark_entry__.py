@@ -217,7 +217,7 @@ def q_dedup_minhash_signatures(spark, sf_dir):
     from wise_spark.pipeline import minhash_signatures
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(F.col("doc_id") < 200)
-    return minhash_signatures(d, n=3)
+    return minhash_signatures(d, n=3).orderBy("doc_id")
 
 
 def q_rel_ordered_lookup(spark, sf_dir):
@@ -238,7 +238,7 @@ def q_emb_norms(spark, sf_dir):
         "label",
         F.round(F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, v: a + v * v)), 6).alias("l2_norm"),
         F.size("embedding").alias("dim"),
-    )
+    ).orderBy("vec_id")
 
 
 def q_ft_corpus_stats(spark, sf_dir):
@@ -272,7 +272,7 @@ def q_ft_doc_lengths(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.size(tokenize_udf()(F.col("text"))).cast("long").alias("doclen")
-    )
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -303,38 +303,40 @@ def q_dedup_exact(spark, sf_dir):
 def q_dedup_ngram_jaccard(spark, sf_dir):
     from wise_spark.pipeline import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), n=3, threshold=0.5)
+    return ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), n=3, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     from wise_spark.pipeline import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), n=3)
+    return minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), n=3).orderBy("doc_a", "doc_b")
 
 
 def q_dedup_simhash(spark, sf_dir):
     from wise_spark.pipeline import simhash_fingerprints
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(F.col("doc_id") < 100)
-    return simhash_fingerprints(d)
+    return simhash_fingerprints(d).orderBy("doc_id")
 
 
 def q_text_fingerprints(spark, sf_dir):
     from wise_spark.pipeline import fingerprints
 
-    return fingerprints(_t(spark, sf_dir, "documents"))
+    return fingerprints(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 def q_text_quality(spark, sf_dir):
     from wise_spark.pipeline import quality_features
 
-    return quality_features(_t(spark, sf_dir, "documents"))
+    return quality_features(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 def q_text_lang_guess(spark, sf_dir):
     from wise_spark.pipeline import lang_guess
 
-    return lang_guess(_t(spark, sf_dir, "documents"))
+    return lang_guess(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 def q_text_token_stats(spark, sf_dir):
@@ -345,7 +347,7 @@ def q_text_token_stats(spark, sf_dir):
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_distinct").cast("long").alias("n_distinct"),
-    )
+    ).orderBy("doc_id")
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -353,13 +355,13 @@ def q_ann_cosine_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return cosine_topk(emb, queries, k=10)
+    return cosine_topk(emb, queries, k=10).orderBy("query_id", "rank")
 
 
 def q_mm_binary_metadata(spark, sf_dir):
     from wise_spark.pipeline.multimodal import attach_binary, binary_metadata
 
-    return binary_metadata(attach_binary(_t(spark, sf_dir, "documents")))
+    return binary_metadata(attach_binary(_t(spark, sf_dir, "documents"))).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -379,7 +381,7 @@ def q_rel_sessionize(spark, sf_dir):
         F.floor(F.col("start_s")).cast("long").alias("start_s"),
         F.floor(F.col("end_s")).cast("long").alias("end_s"),
         "duration_s",
-    )
+    ).orderBy("user_id", "session_id")
 
 
 def q_rel_best_event_per_user(spark, sf_dir):
@@ -388,7 +390,46 @@ def q_rel_best_event_per_user(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return best_per_group(ev, "user_id", "value", "event_id").select(
         "user_id", "event_id", F.round("value", 6).alias("value")
+    ).orderBy("user_id")
+
+
+def q_rel_tolerance_merge(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from wise_spark.pipeline.relational import tolerance_merge
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    ranked = ev.withColumn("rank", F.row_number().over(w))
+    m = tolerance_merge(ranked, "user_id", "ts", "rank", "value",
+                        pts_tolerance=600.0, rank_tolerance=5)
+    return m.select(
+        "user_id",
+        F.col("merge_id").cast("long").alias("merge_id"),
+        "n_hits",
+        F.floor("start_s").cast("long").alias("start_s"),
+        F.floor("end_s").cast("long").alias("end_s"),
+        F.col("best_rank").cast("long").alias("best_rank"),
+        F.round("best_score", 6).alias("best_score"),
+    ).orderBy("user_id", "merge_id")
+
+
+def q_rel_overlap_antijoin(spark, sf_dir):
+    from wise_spark.pipeline.relational import _epoch_seconds, overlap_antijoin
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_s", _epoch_seconds("ts"))
+    a = ev.withColumn("a_start", F.col("ts_s")).withColumn(
+        "a_end", F.col("ts_s") + F.lit(60.0)
     )
+    b = (
+        ev.filter(F.col("event_type") == "error")
+        .withColumn("b_start", F.col("ts_s") - F.lit(120.0))
+        .withColumn("b_end", F.col("ts_s") + F.lit(120.0))
+    )
+    out = overlap_antijoin(a, b, "user_id", "event_id",
+                           "a_start", "a_end", "b_start", "b_end",
+                           bucket_seconds=600.0)
+    return out.select("event_id", "user_id", "event_type").orderBy("event_id")
 
 
 def q_rel_pricing_summary(spark, sf_dir):
@@ -469,6 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "mm_binary_metadata": q_mm_binary_metadata,
         "rel_sessionize": q_rel_sessionize,
+        "rel_tolerance_merge": q_rel_tolerance_merge,
+        "rel_overlap_antijoin": q_rel_overlap_antijoin,
         "rel_best_event_per_user": q_rel_best_event_per_user,
         "rel_ordered_lookup": q_rel_ordered_lookup,
         "emb_norms": q_emb_norms,
@@ -494,12 +537,13 @@ ORDER BY round(sa.score + sb.score, 9) DESC, doc_id ASC LIMIT 50
 WITH ranks(c_custkey, rank) AS (VALUES (30, 0), (5, 1), (12, 2), (1, 3), (44, 4))
 SELECT c.c_custkey, c.c_name, CAST(r.rank AS INT) AS rank
 FROM ranks r LEFT JOIN customer c USING (c_custkey)
+ORDER BY r.rank
 """
     sqls["emb_norms"] = """
 SELECT vec_id, label,
        round(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), 'sum')), 6) AS l2_norm,
        CAST(len(embedding) AS INT) AS dim
-FROM embeddings
+FROM embeddings ORDER BY vec_id
 """
     sqls["ft_not_in"] = f"""
 WITH {_TOK_CTE}, {_bm25_score_cte(["spark"], "s")}
@@ -532,6 +576,7 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 50
 """
     sqls["ft_doc_lengths"] = f"""
 SELECT doc_id, CAST(len({_TOK_SQL}) AS BIGINT) AS doclen FROM documents
+ORDER BY doc_id
 """
     sqls["dedup_exact"] = f"""
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
@@ -562,6 +607,7 @@ FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(common / (sa.set_size + sb.set_size - common), 6) >= 0.5
+ORDER BY doc_a, doc_b
 """
     _h = lambda i: f"min(md5(shingle || ':{i}'))"
     band_rows = " UNION ALL ".join(
@@ -578,6 +624,7 @@ bands AS ({band_rows})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
 """
     bit_votes = ", ".join(
         "sum((2 * (CAST(floor((strpos('0123456789abcdef', substr(md5(term), {nib}, 1)) - 1) / {p}) AS BIGINT) % 2) - 1) * tf) AS s{i}".format(
@@ -593,19 +640,19 @@ WITH tf AS (
   ) GROUP BY doc_id, term
 ),
 votes AS (SELECT doc_id, {bit_votes} FROM tf GROUP BY doc_id)
-SELECT doc_id, {bit_concat} AS simhash FROM votes
+SELECT doc_id, {bit_concat} AS simhash FROM votes ORDER BY doc_id
 """
     _SHINGLE200 = _SHINGLE_CTE.replace(_DUP_SQL, "(SELECT doc_id, text FROM documents WHERE doc_id < 200)")
     sqls["dedup_minhash_signatures"] = f"""
 WITH {_SHINGLE200}
 SELECT doc_id, {", ".join(f"{_h(i)} AS h{i}" for i in range(8))}
-FROM sh GROUP BY doc_id
+FROM sh GROUP BY doc_id ORDER BY doc_id
 """
     sqls["text_fingerprints"] = f"""
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct({_TOK_SQL})), ' ')) AS bag_fingerprint,
        md5(text) AS exact_fingerprint
-FROM documents
+FROM documents ORDER BY doc_id
 """
     _SW = "('the','a','of','and','to','in','is','it','that','for')"
     sqls["text_quality"] = f"""
@@ -619,6 +666,7 @@ SELECT b.doc_id,
        round(CAST(sum(CASE WHEN t.term IN {_SW} THEN 1 ELSE 0 END) AS DOUBLE) / len(b.toks), 6) AS stopword_ratio
 FROM base b JOIN tok t USING(doc_id)
 GROUP BY b.doc_id, b.text, b.toks
+ORDER BY b.doc_id
 """
     sqls["text_lang_guess"] = f"""
 WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents)
@@ -626,12 +674,12 @@ SELECT doc_id,
        round(CAST(sum(CASE WHEN term IN {_SW} THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS en_stopword_ratio,
        CASE WHEN CAST(sum(CASE WHEN term IN {_SW} THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.05
             THEN 'en' ELSE 'unknown' END AS lang_guess
-FROM tok GROUP BY doc_id
+FROM tok GROUP BY doc_id ORDER BY doc_id
 """
     sqls["text_token_stats"] = f"""
 SELECT doc_id, CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct({_TOK_SQL})) AS BIGINT) AS n_distinct
-FROM documents
+FROM documents ORDER BY doc_id
 """
     sqls["ann_cosine_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -647,11 +695,12 @@ rk AS (
   FROM scored
 )
 SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM rk WHERE rank <= 10
+ORDER BY query_id, rank
 """
     sqls["mm_binary_metadata"] = """
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
        md5(text) AS checksum
-FROM documents
+FROM documents ORDER BY doc_id
 """
     sqls["rel_sessionize"] = """
 WITH e AS (
@@ -673,13 +722,52 @@ SELECT user_id, session_id, count(*) AS n_events,
        CAST(floor(max(tsd)) AS BIGINT) AS end_s,
        CAST(floor(max(tsd) - min(tsd)) AS BIGINT) AS duration_s
 FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+    sqls["rel_tolerance_merge"] = """
+WITH r AS (
+  SELECT user_id, epoch(ts) AS tsd, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+),
+e AS (
+  SELECT user_id, tsd, value, rank,
+         CASE WHEN lag(tsd) OVER w IS NULL
+                   OR tsd - lag(tsd) OVER w > 600.0
+                   OR abs(rank - lag(rank) OVER w) > 5
+              THEN 1 ELSE 0 END AS new_flag
+  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY tsd)
+),
+g AS (
+  SELECT user_id, tsd, value, rank,
+         sum(new_flag) OVER (PARTITION BY user_id ORDER BY tsd
+                             ROWS UNBOUNDED PRECEDING) - 1 AS merge_id
+  FROM e
+)
+SELECT user_id, merge_id, count(*) AS n_hits,
+       CAST(floor(min(tsd)) AS BIGINT) AS start_s,
+       CAST(floor(max(tsd)) AS BIGINT) AS end_s,
+       CAST(min(rank) AS BIGINT) AS best_rank,
+       round(max(value), 6) AS best_score
+FROM g GROUP BY user_id, merge_id
+ORDER BY user_id, merge_id
+"""
+    sqls["rel_overlap_antijoin"] = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch(ts) AS tsd FROM events)
+SELECT event_id, user_id, event_type FROM e a
+WHERE NOT EXISTS (
+  SELECT 1 FROM e b
+  WHERE b.event_type = 'error' AND b.user_id = a.user_id
+    AND a.tsd <= b.tsd + 120.0 AND b.tsd - 120.0 <= a.tsd + 60.0
+)
+ORDER BY event_id
 """
     sqls["rel_best_event_per_user"] = """
 SELECT user_id, event_id, round(value, 6) AS value FROM (
   SELECT user_id, event_id, value,
          row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
   FROM events
-) WHERE rn = 1
+) WHERE rn = 1 ORDER BY user_id
 """
     sqls["rel_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,

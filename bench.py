@@ -4,14 +4,17 @@ Two parts:
   1. Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
      on local[$SPARK_GRAFT_CPUS]: per-query wall seconds.
   2. Scaling evidence (north_rule: throughput efficiency >= 0.8 from N to 4N
-     executors): the full index build over the SAME materialized corpus
-     parquet at two parallelism levels (default local[2] vs local[8] — the
-     pair below this box's measured CPU-contention knee; see BENCH.md), each
-     level in its own process, best of 2 runs. A pure-CPU capacity probe is
-     reported alongside so the hardware ceiling of any pair is explicit.
+     EXECUTORS): the full index build over the SAME materialized corpus
+     parquet on a real standalone mini-cluster — master + driver pinned to
+     their own fixed CPUs at every level (a real cluster's driver node does
+     not grow with the executor count), worker + executors + python UDF
+     workers pinned to N=4 vs 4N=16 CPUs (1 executor x 4 cores vs
+     4 executors x 4 cores). Each level runs in its own subprocess (fresh
+     JVMs), 3 runs per level, median reported (this sandbox has
+     noisy-neighbor load; single runs swing ~30%).
 
-Shuffle partition counts scale with cores (2x) exactly as a real cluster
-resize would; the logical job (n_shards/buckets/salts/waves) is fixed.
+Shuffle partition counts scale with executor cores (2x) exactly as a real
+cluster resize would; the logical job (n_shards/buckets/waves) is fixed.
 """
 
 from __future__ import annotations
@@ -26,12 +29,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+DRIVER_CPUS = "0-3"          # driver + master, every level
+WORKER_CPUS = {4: "4-7", 16: "4-19"}  # executor resources under test
+EXECUTOR_CORES = 4           # fixed executor size; levels vary executor COUNT
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _spark(cores: int):
+def _local_spark(cores: int):
     from wise_spark.session import get_spark
 
     return get_spark(
@@ -45,47 +52,24 @@ def _spark(cores: int):
 def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
     import __spark_entry__ as E
 
-    spark = _spark(cores)
+    spark = _local_spark(cores)
     names = [
         "ft_bm25_topk_any", "ft_bm25_topk_all", "ft_bm25_wand", "ft_not_in",
-        "ft_and_merge", "ft_or_merge", "ft_term_df",
+        "ft_and_merge", "ft_or_merge", "ft_term_df", "ft_phrase",
         "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "ann_cosine_topk", "rel_sessionize", "rel_pricing_summary",
+        "ann_cosine_topk", "rel_sessionize", "rel_tolerance_merge",
+        "rel_overlap_antijoin", "rel_pricing_summary",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
     for name in names:
+        if name not in qs:
+            continue
         t0 = time.time()
         n = qs[name](spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)
         log(f"  headline {name}: {out[name]}s ({n} rows)")
     spark.stop()
-    return out
-
-
-def _spin(_: int) -> int:
-    t0 = time.time()
-    x = 0
-    while time.time() - t0 < 2.0:
-        x += 1
-    return x
-
-
-def measure_cpu_capacity(cores_list: list[int]) -> dict[str, float]:
-    """Effective parallel CPU the sandbox actually delivers at each level
-    (shared box: nominal vCPUs != deliverable cores). This bounds the best
-    possible scaling efficiency, reported alongside the measured one."""
-    import multiprocessing as mp
-
-    out = {}
-    base = None
-    for procs in [1] + cores_list:
-        with mp.Pool(procs) as p:
-            res = p.map(_spin, range(procs))
-        total = sum(res)
-        if procs == 1:
-            base = total
-        out[str(procs)] = round(total / base, 2)
     return out
 
 
@@ -97,7 +81,7 @@ def _materialize_corpus(n_docs: int) -> str:
 
     path = os.path.join(tempfile.gettempdir(), f"wise_bench_corpus_{n_docs}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        spark = _spark(32)
+        spark = _local_spark(32)
         corpus_df(spark, n_docs, partitions=64).select(
             "doc_id", "url", "text"
         ).write.mode("overwrite").parquet(path)
@@ -106,125 +90,187 @@ def _materialize_corpus(n_docs: int) -> str:
 
 
 def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
-    """Child-process entry: one parallelism level per PROCESS (a fresh JVM —
-    re-creating SparkContexts in one JVM contaminates timing)."""
+    """Child-process entry (pinned to DRIVER_CPUS by the parent): builds the
+    index on a mini-cluster whose worker owns exactly `cores` executor CPUs,
+    then measures query latency on the built index. Prints one JSON line.
+
+    Steady-state measurement: an UNTIMED warmup build over a 20k-doc slice
+    runs first in the same executors. This box's kernel makes JIT-compile
+    storms pathologically expensive (mprotect/TLB-shootdown cost grows with
+    affinity width), so cold first-stage walls measure JVM warmup, not the
+    engine; a long-lived production cluster runs warm. Index + executor
+    scratch live on tmpfs: the sandbox throttles sustained page-cache writes
+    to ~10 MB/s per process (ext4 resv_strict), which a real cluster's disks
+    don't do."""
+    from pyspark.sql import functions as F
+
+    from wise_spark.cluster import MiniCluster
     from wise_spark.data.queries import reference_queries
     from wise_spark.index import FtsIndex, build_index
 
     corpus_path = _materialize_corpus(n_docs)
     queries = [q for _, q in reference_queries(n=20)]
-    spark = _spark(cores)
-    idx_dir = os.path.join(tempfile.gettempdir(), f"wise_bench_idx_{cores}")
+    idx_dir = f"/dev/shm/wise_bench_idx_{cores}"
+    warm_dir = f"/dev/shm/wise_bench_warm_{cores}"
     shutil.rmtree(idx_dir, ignore_errors=True)
-    docs = spark.read.parquet(corpus_path)
-    t0 = time.time()
-    build_index(docs, idx_dir, url_col="url", n_shards=32, n_buckets=32,
-                n_salts=4, n_waves=2)
-    build_s = time.time() - t0
-    idx = FtsIndex.load(spark, idx_dir, cache=True)
-    idx.topk(queries[0], k=k, mode="any").collect()  # warm cache (untimed)
-    lat: list[float] = []
-    for q in queries:
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    cluster_dir = os.path.join(tempfile.gettempdir(), f"wise_bench_cluster_{cores}")
+    shutil.rmtree(cluster_dir, ignore_errors=True)
+    MiniCluster.cleanup_stale()
+    with MiniCluster(cores=cores, worker_cpus=WORKER_CPUS[cores],
+                     work_dir=cluster_dir, port=7200 + cores,
+                     local_dirs=f"/dev/shm/wise_bench_local_{cores}") as mc:
+        spark = mc.session(
+            executor_cores=EXECUTOR_CORES,
+            executor_mem_gb=10,
+            shuffle_partitions=2 * cores,
+            app_name=f"wise_scale_{cores}",
+        )
+        docs = spark.read.parquet(corpus_path)
+        docs.count()  # warm executors + file listing (untimed)
+        build_index(docs.filter(F.col("doc_id") < 20000), warm_dir,
+                    url_col="url", n_shards=32, n_buckets=32, n_waves=2)
+        shutil.rmtree(warm_dir, ignore_errors=True)
         t0 = time.time()
-        idx.topk(q, k=k, mode="any", method="wand").collect()
-        lat.append(time.time() - t0)
-    res = {
-        "build_s": round(build_s, 2),
-        "docs_per_sec": round(n_docs / build_s, 1),
-        "query_p50_s": round(statistics.median(lat), 3),
-        "query_p99_s": round(sorted(lat)[max(0, int(len(lat) * 0.99) - 1)], 3),
-        "n_queries": len(lat),
-    }
-    spark.stop()
+        build_index(docs, idx_dir, url_col="url", n_shards=32, n_buckets=32,
+                    n_waves=2)
+        build_s = time.time() - t0
+        stage_s = {
+            f"{r['stage']}:{r['unit']}": round(r["wall_ms"] / 1000, 2)
+            for r in spark.read.parquet(os.path.join(idx_dir, "lineage")).collect()
+        }
+        idx = FtsIndex.load(spark, idx_dir, cache=True)
+        idx.topk(queries[0], k=k, mode="any").collect()  # warm cache (untimed)
+        lat: list[float] = []
+        for q in queries:
+            t0 = time.time()
+            idx.topk(q, k=k, mode="any", method="wand").collect()
+            lat.append(time.time() - t0)
+        res = {
+            "build_s": round(build_s, 2),
+            "docs_per_sec": round(n_docs / build_s, 1),
+            "stage_s": stage_s,
+            "query_p50_s": round(statistics.median(lat), 3),
+            "query_p99_s": round(sorted(lat)[max(0, int(len(lat) * 0.99) - 1)], 3),
+            "n_queries": len(lat),
+        }
+        spark.stop()
     shutil.rmtree(idx_dir, ignore_errors=True)
+    shutil.rmtree(cluster_dir, ignore_errors=True)
+    shutil.rmtree(f"/dev/shm/wise_bench_local_{cores}", ignore_errors=True)
     print(json.dumps(res), flush=True)
 
 
 def run_scaling(n_docs: int, cores_list: list[int]):
     """Each level runs in its own subprocess on the SAME corpus parquet
-    (identical job: fixed n_shards/buckets/salts — only parallelism varies)."""
+    (identical job: fixed n_shards/buckets/waves — only executor count
+    varies). Levels are INTERLEAVED (A B A B ...) so a slow ambient period on
+    this shared box penalizes both levels equally; the MEDIAN run is the
+    reported number and every run is shown."""
     import subprocess
 
     _materialize_corpus(n_docs)
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
-    results = {}
-    for cores in cores_list:
-        best = None
-        for r in range(repeats):
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    runs_by_level: dict[int, list] = {c: [] for c in cores_list}
+    for r in range(repeats):
+        for cores in cores_list:
             cmd = [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cores)]
             if shutil.which("taskset"):
-                # pin the WHOLE process tree (JVM + python UDF workers) to
-                # exactly `cores` CPUs — local[N] alone only caps JVM task
-                # slots while python workers pipeline on other cores, which
-                # overstates low-N throughput
-                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+                # pin the driver process tree; the mini-cluster pins its own
+                # worker to WORKER_CPUS independently
+                cmd = ["taskset", "-c", DRIVER_CPUS] + cmd
             p = subprocess.run(
                 cmd, capture_output=True, text=True,
                 env={**os.environ, "SPARK_GRAFT_BENCH_DOCS": str(n_docs)},
             )
             line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else ""
             if p.returncode != 0 or not line:
-                log(f"  scaling local[{cores}] run{r} FAILED: {p.stderr[-500:]}")
+                log(f"  scaling {cores}-core run{r} FAILED: {p.stderr[-500:]}")
                 continue
             res = json.loads(line)
-            log(f"  scaling local[{cores}] run{r}: {res}")
-            # best-of-N: this sandbox has noisy-neighbor load; the fastest
-            # run is the least-contended measurement of the same fixed job
-            if best is None or res["docs_per_sec"] > best["docs_per_sec"]:
-                best = res
-        if best is None:
+            log(f"  scaling {cores}-core run{r}: build {res['build_s']}s "
+                f"({res['docs_per_sec']} docs/s) p50 {res['query_p50_s']}s")
+            runs_by_level[cores].append(res)
+    results = {}
+    for cores, runs in runs_by_level.items():
+        if not runs:
             raise RuntimeError(f"scale worker {cores} failed")
-        results[cores] = best
+        med = sorted(runs, key=lambda x: x["docs_per_sec"])[len(runs) // 2]
+        med = {**med, "all_docs_per_sec": [x["docs_per_sec"] for x in runs],
+               "best_docs_per_sec": max(x["docs_per_sec"] for x in runs)}
+        results[cores] = med
     return results
 
 
-def write_bench_md(n_docs: int, scaling: dict, effs: dict, capacity: dict, cap_effs: dict) -> None:
+def write_bench_md(n_docs: int, scaling: dict, effs: dict, effs_best: dict) -> None:
     rows = "\n".join(
-        f"| local[{c}] | {r['build_s']} | {r['docs_per_sec']} | "
-        f"{r['query_p50_s']} | {r['query_p99_s']} |"
+        f"| {c} exec cores ({c // EXECUTOR_CORES} executor"
+        f"{'s' if c > EXECUTOR_CORES else ''} x {EXECUTOR_CORES}) "
+        f"| {r['build_s']} | {r['docs_per_sec']} "
+        f"| {r['all_docs_per_sec']} | {r['query_p50_s']} | {r['query_p99_s']} |"
         for c, r in sorted(scaling.items())
     )
     eff_rows = "\n".join(
-        f"- **{k.replace('_to_', ' -> ')} cores: measured efficiency {v:.3f}** "
-        f"(hardware ceiling for this pair: {cap_effs.get(k, 1.0):.3f})"
+        f"- **{k.replace('_to_', ' -> ')} executor cores: "
+        f"median scaling efficiency {v:.3f}** "
+        f"(best-run-vs-best-run: {effs_best.get(k, 0):.3f} — the least-"
+        f"contended sample of the same fixed job at each level)"
         for k, v in effs.items()
     )
-    cap_rows = "\n".join(f"| {p} procs | {v}x |" for p, v in capacity.items())
+    stage_rows = "\n".join(
+        f"| {stage} | "
+        + " | ".join(str(scaling[c]["stage_s"].get(stage, "-")) for c in sorted(scaling))
+        + " |"
+        for stage in sorted(
+            {s for r in scaling.values() for s in r.get("stage_s", {})}
+        )
+    )
+    stage_hdr = " | ".join(f"{c} cores (s)" for c in sorted(scaling))
     md = f"""# BENCH — wise_spark
 
-## Scaling evidence (north_rule: throughput efficiency >= 0.8 from N to 4N)
+## Scaling evidence (north_rule: throughput efficiency >= 0.8 from N to 4N executors)
 
-Same job — full inverted-index build (tokenize -> salted posting build ->
-varbyte+block-max segments -> exact stats) over the identical deterministic
-synthetic corpus parquet ({n_docs} docs) — run at each parallelism level in
-its own process pinned with `taskset -c` to exactly that many CPUs (the
-whole tree: JVM + python UDF workers — local[N] alone only caps JVM task
-slots), best of 2 runs (this sandbox has noisy-neighbor load); only the
-core count changes (fixed n_shards=32, n_buckets=32, n_salts=4, n_waves=2). Query latency is block-max WAND top-10 over the 20-query
-reference set on the cached index.
+Same job — full inverted-index build (flat mapInPandas tokenize -> zero-
+shuffle wave-partitioned tokens checkpoint -> split-local packed partials ->
+one (shard,bucket) exchange per wave -> varbyte+block-max segments -> exact
+stats) over the identical deterministic synthetic corpus parquet
+({n_docs} docs) — runs on a REAL standalone mini-cluster on this box:
 
-| parallelism | build wall (s) | build docs/sec | query p50 (s) | query p99 (s) |
-|---|---|---|---|---|
+* master + driver pinned to CPUs {DRIVER_CPUS} at every level (a real
+  cluster's driver node does not grow when executors are added);
+* the worker — and the executor JVMs and python UDF workers it spawns,
+  which inherit its affinity — pinned to N=4 CPUs (1 executor x
+  {EXECUTOR_CORES} cores) vs 4N=16 CPUs (4 executors x {EXECUTOR_CORES});
+* each level in its own subprocess (fresh JVMs), 3 runs, median reported
+  (the sandbox has noisy neighbors; all runs shown);
+* only executor count changes: fixed n_shards=32, n_buckets=32, n_waves=2;
+  shuffle partitions scale 2x executor cores exactly as a cluster resize
+  would.
+
+Query latency is block-max WAND top-10 over the 20-query reference set on
+the cached index.
+
+| level | build wall (s) | build docs/sec (median) | all runs (docs/sec) | query p50 (s) | query p99 (s) |
+|---|---|---|---|---|---|
 {rows}
 
-Scaling efficiency = (throughput_hi / throughput_lo) / (cores_hi / cores_lo):
+Scaling efficiency = (throughput_4N / throughput_N) / 4:
 
 {eff_rows}
 
-## Sandbox CPU capacity (why N=2 -> 4N=8 is the headline pair)
+## Per-stage build wall (median run)
 
-A pure-CPU spin test (multiprocessing, no Spark) measures how much parallel
-compute the shared box actually delivers relative to 1 process:
+| stage | {stage_hdr} |
+|---|---|---|
+{stage_rows}
 
-| processes | effective speedup |
-|---|---|
-{cap_rows}
+## Method notes
 
-Nominal vCPUs are not deliverable cores here: at 32-way parallelism the box
-delivers ~21-22 effective cores, capping even perfect code's 8->32
-efficiency near 0.69. The 2->8 pair runs below the contention knee, so it is
-the meaningful N-to-4N measurement; on a real 4x-executor cluster each
-executor brings its own cores and disks.
+local[N] was rejected for this evidence: in local mode the driver (DAG
+scheduler, Py4J, listener bus) and python UDF workers share the pinned CPUs
+with task threads, understating low-N throughput — the mini-cluster keeps
+driver resources constant and varies ONLY executor resources, which is what
+"N -> 4N executors" means on a real cluster.
 """
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write(md)
@@ -244,20 +290,17 @@ def main() -> None:
     headline = run_headline(sf_dir, cpus)
 
     log(f"== scaling: index build over {n_docs} synthetic docs ==")
-    cores_list = [int(c) for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(",")]
-    capacity = measure_cpu_capacity(cores_list)
-    log(f"  effective parallel CPU capacity: {capacity}")
+    cores_list = [int(c) for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "4,16").split(",")]
     scaling = run_scaling(n_docs, cores_list)
-    effs = {}
+    effs, effs_best = {}, {}
     for lo, hi in zip(cores_list, cores_list[1:]):
         effs[f"{lo}_to_{hi}"] = round(
             (scaling[hi]["docs_per_sec"] / scaling[lo]["docs_per_sec"]) / (hi / lo), 3
         )
-    cap_effs = {}
-    for lo, hi in zip(cores_list, cores_list[1:]):
-        cap = capacity[str(hi)] / capacity[str(lo)] / (hi / lo)
-        cap_effs[f"{lo}_to_{hi}"] = round(cap, 3)
-    write_bench_md(n_docs, scaling, effs, capacity, cap_effs)
+        effs_best[f"{lo}_to_{hi}"] = round(
+            (scaling[hi]["best_docs_per_sec"] / scaling[lo]["best_docs_per_sec"]) / (hi / lo), 3
+        )
+    write_bench_md(n_docs, scaling, effs, effs_best)
 
     total = round(time.time() - t_all0, 2)
     lo, hi = min(scaling), max(scaling)
@@ -268,12 +311,13 @@ def main() -> None:
         "queries": headline,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "scaling_docs": n_docs,
+        "scaling_mode": "standalone mini-cluster, pinned driver + pinned executors, median of 3",
         "scaling_build_docs_per_sec": {str(c): r["docs_per_sec"] for c, r in scaling.items()},
+        "scaling_build_docs_per_sec_runs": {str(c): r["all_docs_per_sec"] for c, r in scaling.items()},
         "scaling_query_p50_s": scaling[hi]["query_p50_s"],
         "scaling_query_p99_s": scaling[hi]["query_p99_s"],
         "scaling_efficiency": effs,
-        "cpu_capacity_effective_cores": capacity,
-        "scaling_efficiency_hw_ceiling": cap_effs,
+        "scaling_efficiency_best": effs_best,
         "total_bench_s": total,
     }
     print(json.dumps(out), flush=True)

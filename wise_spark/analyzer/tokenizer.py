@@ -23,11 +23,22 @@ import pandas as pd
 # [^\W_] == \w minus underscore; with re.UNICODE this is Unicode alphanumerics.
 TOKEN_PATTERN = re.compile(r"[^\W_]+", re.UNICODE)
 
+# ASCII fast path: NFKC is the identity on ASCII, casefold == lower, and
+# [^\W_]+ on lowercased ASCII == [a-z0-9]+ — so translate every other ASCII
+# byte to space and split. C-level str.translate/split is ~5x the regex scan;
+# byte-identical output (parity pinned by tests + the FTS5 oracle).
+_ASCII_KEEP = set("abcdefghijklmnopqrstuvwxyz0123456789")
+_ASCII_TRANS = str.maketrans(
+    {c: " " for c in map(chr, range(128)) if c not in _ASCII_KEEP}
+)
+
 
 def tokenize_text(text: str) -> list[str]:
     """Pure-Python analyzer (query side, oracles, tests)."""
     if text is None:
         return []
+    if text.isascii():
+        return text.lower().translate(_ASCII_TRANS).split()
     return TOKEN_PATTERN.findall(unicodedata.normalize("NFKC", text).casefold())
 
 

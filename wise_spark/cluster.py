@@ -1,0 +1,153 @@
+"""Spark standalone mini-cluster management (sandbox scaling evidence).
+
+The north_rule's scaling criterion is throughput efficiency >= 0.8 from N to
+4N EXECUTORS. local[N] cannot evidence that honestly: in local mode the
+driver (DAG scheduler, Py4J, listener bus) and the python UDF workers share
+the same pinned CPUs as the task threads, so low-N throughput is understated
+by driver overhead that a real cluster would never charge to executors.
+
+This module launches a real standalone master + taskset-pinned workers on
+the local box: the DRIVER and MASTER stay on their own fixed CPU set at
+every level (exactly like a real cluster, where the driver node does not
+grow when you add executors), while the WORKER processes — and the executor
+JVMs and python UDF workers they spawn, which inherit the worker's CPU
+affinity — are pinned to N or 4N CPUs. Scaling N -> 4N then varies executor
+resources and nothing else.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _spark_home() -> str:
+    import pyspark
+
+    return os.path.dirname(os.path.abspath(pyspark.__file__))
+
+
+def _wait_for(log_path: str, needle: str, timeout_s: float = 30.0) -> None:
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        if os.path.exists(log_path):
+            with open(log_path, errors="replace") as f:
+                if needle in f.read():
+                    return
+        time.sleep(0.3)
+    tail = ""
+    if os.path.exists(log_path):
+        with open(log_path, errors="replace") as f:
+            tail = f.read()[-2000:]
+    raise RuntimeError(f"'{needle}' not found in {log_path} within {timeout_s}s:\n{tail}")
+
+
+class MiniCluster:
+    """One standalone master + one pinned worker offering `cores` CPUs.
+
+    The worker is pinned (taskset) to `worker_cpus`; executor JVMs and python
+    workers inherit that affinity. Use executor_cores to split the worker
+    into multiple executors (e.g. cores=16, executor_cores=4 -> 4 executors,
+    the '4N executors' level).
+    """
+
+    def __init__(self, cores: int, worker_cpus: str, work_dir: str,
+                 port: int = 7077, memory_gb: int = 48,
+                 local_dirs: str | None = None):
+        self.cores = cores
+        self.worker_cpus = worker_cpus
+        self.work_dir = work_dir
+        self.port = port
+        self.memory_gb = memory_gb
+        self.local_dirs = local_dirs  # executor scratch (shuffle/spill)
+        self.master_url = f"spark://127.0.0.1:{port}"
+        self._procs: list[subprocess.Popen] = []
+
+    @staticmethod
+    def cleanup_stale(match: str = "org.apache.spark.deploy") -> None:
+        """Kill leaked master/worker/executor JVMs from crashed prior runs —
+        a zombie cluster silently contends with every later measurement."""
+        for pat in (match, "CoarseGrainedExecutorBackend"):
+            subprocess.run(["pkill", "-9", "-f", pat], check=False)
+        time.sleep(0.5)
+
+    def start(self) -> "MiniCluster":
+        home = _spark_home()
+        cp = os.path.join(home, "jars", "*")
+        env = {**os.environ, "SPARK_HOME": home,
+               # pip-installed pyspark has no launcher/target build dirs; the
+               # executor command builder needs the scala version pinned
+               "SPARK_SCALA_VERSION": "2.13",
+               "PYSPARK_PYTHON": sys.executable,
+               "SPARK_LOG_DIR": self.work_dir}
+        if self.local_dirs:
+            os.makedirs(self.local_dirs, exist_ok=True)
+            env["SPARK_LOCAL_DIRS"] = self.local_dirs
+        os.makedirs(self.work_dir, exist_ok=True)
+        mlog = os.path.join(self.work_dir, "master.log")
+        wlog = os.path.join(self.work_dir, "worker.log")
+        self._procs.append(subprocess.Popen(
+            ["java", "-cp", cp, "-Xmx1g",
+             "org.apache.spark.deploy.master.Master",
+             "--host", "127.0.0.1", "--port", str(self.port), "--webui-port", "0"],
+            stdout=open(mlog, "w"), stderr=subprocess.STDOUT, env=env,
+            start_new_session=True,
+        ))
+        _wait_for(mlog, "I have been elected leader")
+        wcmd = ["java", "-cp", cp, "-Xmx1g",
+                "org.apache.spark.deploy.worker.Worker", self.master_url,
+                "--cores", str(self.cores), "--memory", f"{self.memory_gb}g",
+                "--webui-port", "0",
+                "--work-dir", os.path.join(self.work_dir, "work")]
+        if shutil.which("taskset"):
+            wcmd = ["taskset", "-c", self.worker_cpus] + wcmd
+        self._procs.append(subprocess.Popen(
+            wcmd, stdout=open(wlog, "w"), stderr=subprocess.STDOUT, env=env,
+            start_new_session=True,
+        ))
+        _wait_for(wlog, "Successfully registered with master")
+        return self
+
+    def session(self, executor_cores: int, executor_mem_gb: int,
+                shuffle_partitions: int, app_name: str = "wise_cluster",
+                extra_conf: dict | None = None):
+        from .session import get_spark
+
+        conf = {
+            "spark.executor.cores": str(executor_cores),
+            "spark.executor.memory": f"{executor_mem_gb}g",
+            # each executor JVM must size its GC/JIT thread pools to ITS core
+            # share, not the worker's whole affinity set — otherwise 4
+            # co-located executors each spawn worker-width GC threads and
+            # thrash each other (measured: 3x slowdown at the 4-executor
+            # level without this)
+            "spark.executor.extraJavaOptions":
+                f"-XX:ActiveProcessorCount={executor_cores}",
+            "spark.pyspark.python": sys.executable,
+            "spark.driver.memory": "8g",
+        }
+        if extra_conf:
+            conf.update(extra_conf)
+        return get_spark(
+            master=self.master_url, app_name=app_name,
+            shuffle_partitions=shuffle_partitions, extra_conf=conf,
+        )
+
+    def stop(self) -> None:
+        for p in reversed(self._procs):
+            p.terminate()
+        for p in reversed(self._procs):
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()
+        self._procs.clear()
+
+    def __enter__(self) -> "MiniCluster":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

@@ -1,26 +1,37 @@
-"""Inverted-index build: staged, checkpointed, skew-salted, resumable.
+"""Inverted-index build: staged, checkpointed, skew-safe, resumable.
 
 Lifecycle (SURVEY.md section 3.4), each stage an atomic parquet commit whose
 _SUCCESS marker is the checkpoint (the reference commits every 8192 payloads
 for the same reason, /root/reference/extract-features.py:320,400-405):
 
-  Stage A  tokens    docs -> tokenize pandas_udf -> (doc_id, term, tf, doclen,
-                     shard) parquet, partitioned by shard  [extracted snapshot]
+  Stage A  tokens    docs -> flat mapInPandas tokenize -> (doc_id, term, tf,
+                     doclen, shard) parquet partitioned by WAVE, written
+                     straight from the map tasks — ZERO shuffles. The UDF
+                     emits flat Arrow columns (no array<struct> the JVM would
+                     have to explode: measured, nested UDF output + same-stage
+                     write anti-scales 4x on this box).
   Stage B  doc_map   (doc_id, url?, doclen) parquet + exact N/avgdl
-  Stage C  segments  per shard-wave: salted two-phase groupBy -> varbyte +
-                     block-max posting rows, appended per wave with a lineage
-                     row (tokens/postings/bytes/wall_ms) committed after each
-                     wave -> restart skips completed waves
+  Stage C  segments  per wave: pack-on-read partials (map-side, split-local)
+                     -> ONE shuffle of packed binary runs keyed (shard,
+                     bucket) -> k-way merge + varbyte/block-max encode ->
+                     direct partitioned write, with a lineage row
+                     (postings/bytes/wall_ms) committed after each wave ->
+                     restart skips completed waves
   Stage D  terms     exact df(term) table, range-partitioned + sorted for
                      parquet min/max pruning on query terms
   meta.json          written LAST = build-complete marker
 
-Skew handling (north_rule): the posting groupBy key is (shard, bucket) where
+Skew handling (north_rule): the posting shuffle key is (shard, bucket) where
 shard = doc_id % n_shards — a head term's postings split across ALL shards —
-plus an explicit salt = xxhash64(doc_id) % n_salts two-phase partial
-aggregation inside each (shard, bucket), so no single reducer ever owns a
-head term (SURVEY.md section 7 hard-part 2). Zipf df makes this mandatory at
-10^12 docs; AQE cannot fix groupBy skew, only join skew.
+and phase 1 packs PARTIAL runs per (shard, term) inside each input split
+BEFORE the shuffle (the moral equivalent of salting with salt = split id,
+minus the salt shuffle): no reducer ever receives raw per-posting rows, only
+<= n_splits packed runs per (shard, term), each bounded by its split's size
+(SURVEY.md section 7 hard-part 2). Zipf df makes this mandatory at 10^12
+docs; AQE cannot fix groupBy skew, only join skew.
+
+Total exchanges for the whole build: one packed-run shuffle per wave, plus
+the small doc_map/terms aggregations. No raw token row is ever shuffled.
 """
 
 from __future__ import annotations
@@ -37,6 +48,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .codec import encode_postings
 
 TOKENS_SCHEMA = "doc_id long, term string, tf long, doclen long, shard int"
+# wave = shard % n_waves (Stage C prunes whole wave dirs); url rides along on
+# one SENTINEL row per doc (term NULL, tf 0) so Stage B derives doc_map with
+# a map-only filter — no groupBy, no join-back to the source table
+TOKENS_WAVE_SCHEMA = TOKENS_SCHEMA + ", wave int, url string"
 PARTIAL_SCHEMA = (
     "term string, shard int, bucket int, docids binary, tfs binary, doclens binary"
 )
@@ -47,6 +62,10 @@ SEGMENT_SCHEMA = (
 LINEAGE_SCHEMA = (
     "stage string, unit string, status string, rows long, bytes long, wall_ms long"
 )
+
+# above this many doc_map rows, corpus stats switch from a driver-side
+# pyarrow column read to a distributed Spark aggregation (same exact result)
+DRIVER_STATS_MAX_ROWS = 50_000_000
 
 
 @dataclass
@@ -171,12 +190,74 @@ def _wave_metrics(segments_path: str, shard_list: list[int]) -> tuple[int, int]:
     return postings, nbytes
 
 
+def _flat_tokens_fn(
+    id_col: str, text_col: str, url_col: str | None, n_shards: int, n_waves: int
+):
+    """Stage A kernel: mapInPandas batches of (id, text[, url]) -> FLAT rows
+    (doc_id, term, tf, doclen, shard, wave, url).
+
+    Map-side tf: a document's term frequencies are purely local, counted here
+    with one vectorized pandas groupby per Arrow batch — the build never
+    shuffles a raw token. Output is flat primitive/string columns: emitting
+    array<struct<term,tf>> and exploding JVM-side measurably anti-scales
+    (nested Arrow vectors + same-stage explode+write quadruple wall time at
+    8 cores on this box), so flat-by-construction is both the simpler and
+    the faster shape.
+
+    One sentinel row per doc (term NULL, tf 0, url set) makes doc_map a pure
+    filter of this checkpoint — zero-token docs included.
+    """
+    from itertools import chain
+
+    from ..analyzer.tokenizer import tokenize_text
+
+    cols = ["doc_id", "term", "tf", "doclen", "shard", "wave", "url"]
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks_per_doc = [tokenize_text(t) for t in pdf[text_col]]
+            lens = np.fromiter(
+                (len(t) for t in toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
+            )
+            doc_ids = pdf[id_col].to_numpy(np.int64)
+            flat = pd.DataFrame(
+                {
+                    "doc_id": np.repeat(doc_ids, lens),
+                    "term": list(chain.from_iterable(toks_per_doc)),
+                    "doclen": np.repeat(lens, lens),
+                }
+            )
+            out = flat.groupby(["doc_id", "term"], sort=False, as_index=False).agg(
+                tf=("term", "size"), doclen=("doclen", "first")
+            )
+            out["tf"] = out["tf"].astype(np.int64)
+            out["url"] = None
+            sent = pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "term": None,
+                    "tf": np.int64(0),
+                    "doclen": lens,
+                    "url": pdf[url_col].to_numpy() if url_col else None,
+                }
+            )
+            out = pd.concat([out, sent], ignore_index=True)
+            out["shard"] = (out["doc_id"] % n_shards).astype(np.int32)
+            out["wave"] = (out["shard"] % n_waves).astype(np.int32)
+            yield out[cols]
+
+    return gen
+
+
 def _pack_partition_fn():
-    """Phase 1 (salted partials): one pass per PARTITION — sort by
+    """Phase 1 (split-local partials): one pass per INPUT SPLIT — sort by
     (shard, term, doc_id), split runs with numpy boundary detection, pack raw
-    little-endian buffers. mapInPandas over repartition(p1, shard, salt)
-    avoids applyInPandas' per-group overhead entirely; partition count p1 is
-    an explicit knob, decoupled from spark.sql.shuffle.partitions."""
+    little-endian buffers. Runs map-side directly on the pruned wave scan (no
+    shuffle): each split yields at most one partial run per (shard, term), so
+    a head term fans out into n_splits bounded partials instead of one
+    unbounded reducer row."""
 
     def pack(batches):
         pdf = _concat_batches(batches)
@@ -291,80 +372,74 @@ def build_index(
     segments_path = os.path.join(index_dir, "segments")
     terms_path = os.path.join(index_dir, "terms")
 
-    # ---- Stage A: tokenize ONCE -> tf rows, partitioned by shard ------------
+    # ---- Stage A: tokenize ONCE -> flat tf rows, partitioned by wave --------
+    # No shuffle: the flat mapInPandas kernel emits final rows and each map
+    # task writes its own per-wave files (n_waves files per task). Wave
+    # pruning in Stage C replaces the old per-shard partition pruning.
     par = spark.sparkContext.defaultParallelism
     if n_shards is None:
         n_docs_hint = docs.count()
         n_shards = max(4, min(4096, int(n_docs_hint // 250_000) + 4))
     if not (resume and _done(tokens_path)):
         t0 = time.time()
-        from ..analyzer.tokenizer import term_counts_udf
-
-        # map-side tf: term frequencies are doc-local, counted inside the
-        # Arrow UDF — NO groupBy(doc_id, term) exchange; the only shuffle in
-        # this stage is the shard-aligned repartition before the write
-        tc = term_counts_udf()
-        counted = docs.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            tc(F.col(text_col)).alias("tc"),
+        sel = [F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")]
+        if url_col:
+            sel.append(F.col(url_col).alias("url"))
+        tf = docs.select(*sel).mapInPandas(
+            _flat_tokens_fn("doc_id", "text", "url" if url_col else None,
+                            n_shards, n_waves),
+            schema=TOKENS_WAVE_SCHEMA,
         )
-        tf = (
-            counted.select(
-                "doc_id",
-                F.col("tc.doclen").cast("long").alias("doclen"),
-                F.explode("tc.counts").alias("kv"),
-            )
-            .select(
-                "doc_id",
-                F.col("kv.term").alias("term"),
-                F.col("kv.tf").cast("long").alias("tf"),
-                "doclen",
-            )
-            .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
-        )
-        tf.repartition(n_shards, "shard").write.mode("overwrite").partitionBy(
-            "shard"
-        ).parquet(tokens_path)
+        tf.write.mode("overwrite").partitionBy("wave").parquet(tokens_path)
         _append_lineage(
             spark, index_dir,
             [("tokens", "-", "done", 0, 0, int((time.time() - t0) * 1000))],
         )
 
-    # ---- Stage B: doc_map + exact corpus stats (doclen from the tokens
-    # checkpoint — the text is never tokenized twice) -------------------------
+    # ---- Stage B: doc_map = the sentinel rows of the tokens checkpoint ------
+    # Map-only: pushed-down term-IS-NULL filter + column pruning; no shuffle,
+    # no second pass over the text (zero-token docs carry a sentinel too).
     if not (resume and _done(doc_map_path)):
         t0 = time.time()
-        lens = (
-            spark.read.parquet(tokens_path)
-            .groupBy("doc_id")
-            .agg(F.first("doclen").alias("doclen"))
-        )
-        cols = [F.col(id_col).cast("long").alias("doc_id")]
-        if url_col:
-            cols.append(F.col(url_col).alias("url"))
+        cols = ["doc_id", "doclen"] + (["url"] if url_col else [])
         dm = (
-            docs.select(*cols)
-            .join(lens, "doc_id", "left")
-            .fillna(0, subset=["doclen"])  # zero-token docs still count in N
+            spark.read.parquet(tokens_path)
+            .filter(F.col("term").isNull())
+            .select(*cols)
         )
         dm.write.mode("overwrite").parquet(doc_map_path)
         _append_lineage(
             spark, index_dir,
             [("doc_map", "-", "done", 0, 0, int((time.time() - t0) * 1000))],
         )
-    # exact corpus stats via a driver-side pyarrow column read (doclen only,
-    # 8 bytes/doc) — no Spark job. At 10^12 docs swap for one Spark agg; the
-    # crossover is a size check, the semantics are identical (exact).
-    import pyarrow.dataset as _ds
+    # exact corpus stats: row count from parquet footers (free), then either a
+    # driver-side pyarrow column read (doclen only, 8 bytes/doc — no Spark
+    # job) below the guard, or one Spark agg above it. Both are exact; the
+    # guard keeps driver memory bounded at 10^12 docs.
+    import pyarrow.parquet as _pq
 
-    _dl = _ds.dataset(doc_map_path).to_table(columns=["doclen"]).column("doclen")
-    import pyarrow.compute as _pc
+    n_docs = sum(
+        _pq.ParquetFile(os.path.join(dp, fn)).metadata.num_rows
+        for dp, _, fns in os.walk(doc_map_path)
+        for fn in fns
+        if fn.endswith(".parquet")
+    )
+    if n_docs <= DRIVER_STATS_MAX_ROWS:
+        import pyarrow.compute as _pc
+        import pyarrow.dataset as _ds
 
-    n_docs = len(_dl)
-    total_tokens = int(_pc.sum(_dl).as_py() or 0)
+        _dl = _ds.dataset(doc_map_path).to_table(columns=["doclen"]).column("doclen")
+        total_tokens = int(_pc.sum(_dl).as_py() or 0)
+    else:
+        row = (
+            spark.read.parquet(doc_map_path)
+            .agg(F.sum("doclen").alias("s"))
+            .collect()[0]
+        )
+        total_tokens = int(row["s"] or 0)
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
-    # ---- Stage C: salted two-phase posting build, per shard-wave ------------
+    # ---- Stage C: two-phase posting build, per wave --------------------------
     done_units = _completed_units(spark, index_dir, "segments") if resume else set()
     waves = [list(range(w, n_shards, n_waves)) for w in range(n_waves)]
     tf_all = spark.read.parquet(tokens_path)
@@ -374,29 +449,33 @@ def build_index(
             continue
         if fail_after_waves is not None and w >= fail_after_waves:
             raise RuntimeError(f"injected failure before {unit}")
+        # idempotent re-run: a crash between the wave's parquet commit and its
+        # lineage row would otherwise double-append every (term, shard) row on
+        # resume. Shards are wave-exclusive (s % n_waves == w), so deleting
+        # this wave's shard dirs before (re)running restores exactly-once.
+        import shutil as _shutil
+
+        for s in shard_list:
+            _shutil.rmtree(os.path.join(segments_path, f"shard={s}"), ignore_errors=True)
         t0 = time.time()
-        tf = tf_all.filter(F.col("shard").isin(shard_list))  # partition pruning
+        # wave-dir partition pruning + pushed-down sentinel filter
+        tf = tf_all.filter((F.col("wave") == w) & F.col("term").isNotNull())
         tf = tf.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
-        ).withColumn(
-            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")
         )
-        # salted two-phase build, explicit partition counts (NOT coupled to
-        # spark.sql.shuffle.partitions): phase 1 reduces token rows to packed
-        # per-(term,shard,salt) runs so no reducer ever receives a raw head
-        # term; phase 2 k-way merges the salted runs per (shard, term)
-        p1 = max(2 * par, n_salts)
-        p2 = max(par, 4)
-        partial = tf.repartition(p1, "shard", "salt").mapInPandas(
-            _pack_partition_fn(), schema=PARTIAL_SCHEMA
-        )
+        # two-phase build with ONE exchange: phase 1 packs split-local partial
+        # runs map-side directly on the pruned scan (no repartition — no
+        # reducer ever receives raw per-posting rows); phase 2 k-way merges
+        # the partials per (shard, term) grouped by (shard, bucket) over an
+        # explicit partition count (NOT coupled to spark.sql.shuffle
+        # .partitions), then writes straight into shard= dirs (no write-side
+        # repartition; each reduce task writes its shards' files directly).
+        p2 = max(2 * par, 8)
+        partial = tf.mapInPandas(_pack_partition_fn(), schema=PARTIAL_SCHEMA)
         segs = partial.repartition(p2, "shard", "bucket").mapInPandas(
             _merge_partition_fn(avgdl), schema=SEGMENT_SCHEMA
         )
-        # write-aligned: one task per shard dir (encoded payloads are compact)
-        segs.repartition(len(shard_list), "shard").write.mode("append").partitionBy(
-            "shard"
-        ).parquet(segments_path)
+        segs.write.mode("append").partitionBy("shard").parquet(segments_path)
         postings, nbytes = _wave_metrics(segments_path, shard_list)
         _append_lineage(
             spark, index_dir,

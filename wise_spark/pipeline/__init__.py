@@ -8,7 +8,13 @@ from .dedup import (
     simhash_fingerprints,
 )
 from .similarity import cosine_topk, lsh_cosine_topk
-from .relational import sessionize, best_per_group, ordered_lookup
+from .relational import (
+    sessionize,
+    best_per_group,
+    ordered_lookup,
+    tolerance_merge,
+    overlap_antijoin,
+)
 
 __all__ = [
     "token_stats",
@@ -26,4 +32,6 @@ __all__ = [
     "sessionize",
     "best_per_group",
     "ordered_lookup",
+    "tolerance_merge",
+    "overlap_antijoin",
 ]

@@ -61,18 +61,125 @@ def session_stats(
     )
 
 
+def tolerance_merge(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    rank_col: str,
+    score_col: str,
+    pts_tolerance: float,
+    rank_tolerance: int,
+) -> DataFrame:
+    """Rank/time-tolerance result merging — the reference's `merge0`
+    (/root/reference/search.py:281-363, defaults :717-740): within one key
+    (the reference's filename), hits that are close in BOTH timestamp
+    (<= pts_tolerance seconds) and retrieval rank (<= rank_tolerance) chain
+    into one merged hit spanning [start_s, end_s], keeping the best rank and
+    score.
+
+    Output: (key, merge_id, n_hits, start_s, end_s, best_rank, best_score).
+    Scale: one shuffle on key_col; both windows run within partitions.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    ts = _epoch_seconds(ts_col)
+    prev_ts = F.lag(ts).over(w)
+    prev_rank = F.lag(F.col(rank_col)).over(w)
+    new_flag = F.when(
+        prev_ts.isNull()
+        | (ts - prev_ts > pts_tolerance)
+        | (F.abs(F.col(rank_col) - prev_rank) > rank_tolerance),
+        1,
+    ).otherwise(0)
+    g = df.withColumn("_new", new_flag).withColumn(
+        "merge_id", F.sum("_new").over(w) - 1
+    )
+    return g.groupBy(key_col, "merge_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min(ts).alias("start_s"),
+        F.max(ts).alias("end_s"),
+        F.min(rank_col).alias("best_rank"),
+        F.max(score_col).alias("best_score"),
+    )
+
+
+def overlap_antijoin(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    a_id_col: str,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket_seconds: float = 3600.0,
+) -> DataFrame:
+    """Interval-overlap NOT-IN: drop rows of `a` whose [a_start, a_end]
+    overlaps ANY [b_start, b_end] of `b` under the same key — the reference's
+    segment-granular `apply_subtract` (/root/reference/search.py:161-190),
+    which removes hits overlapping the NOT-IN result's segments.
+
+    Scale shape: a naive theta-join (t1.start <= t2.end AND t2.start <= t1.end)
+    is a per-key cross product. Instead each interval explodes to the fixed
+    time buckets it covers (sequence + explode, JVM-side), the join is an
+    EQUI-join on (key, bucket) — shuffle-partitionable, AQE-skew-splittable —
+    and the exact overlap predicate filters the candidates. Matched a-ids are
+    then removed with a left_anti join. Buckets add duplicates, not misses:
+    any true overlap shares at least one bucket, so the result is exact.
+    """
+    bs = float(bucket_seconds)
+
+    def buckets(start: str, end: str):
+        return F.explode(
+            F.sequence(
+                F.floor(F.col(start) / bs).cast("long"),
+                F.floor(F.col(end) / bs).cast("long"),
+            )
+        )
+
+    ab = a.select(
+        F.col(key_col).alias("_k"), F.col(a_id_col).alias("_aid"),
+        F.col(a_start).alias("_as"), F.col(a_end).alias("_ae"),
+    ).withColumn("_bkt", buckets("_as", "_ae"))
+    bb = b.select(
+        F.col(key_col).alias("_k"),
+        F.col(b_start).alias("_bs"), F.col(b_end).alias("_be"),
+    ).withColumn("_bkt", buckets("_bs", "_be"))
+    matched = (
+        ab.join(bb, ["_k", "_bkt"])
+        .where((F.col("_as") <= F.col("_be")) & (F.col("_bs") <= F.col("_ae")))
+        .select(F.col("_aid").alias(a_id_col))
+        .distinct()
+    )
+    return a.join(matched, a_id_col, "left_anti")
+
+
 def best_per_group(df: DataFrame, key_col: str, order_col: str, tiebreak_col: str) -> DataFrame:
     """Keep the single best row per group (order_col desc, tiebreak asc)."""
     w = Window.partitionBy(key_col).orderBy(F.desc(order_col), F.asc(tiebreak_col))
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
-def ordered_lookup(ids_in_rank_order: list[int], table: DataFrame, id_col: str) -> DataFrame:
-    """Fetch rows for ids, preserving the input rank; error if any missing
-    (the reference raises on missing ids, repository/__init__.py:60-64)."""
+def ordered_lookup(
+    ids_in_rank_order: list[int], table: DataFrame, id_col: str, strict: bool = False
+) -> DataFrame:
+    """Fetch rows for ids, preserving the input rank.
+
+    Missing ids yield NULL-filled rows by default; with strict=True the call
+    raises KeyError instead (the reference raises on missing ids,
+    repository/__init__.py:60-64 — strict mode mirrors that contract; the
+    lenient default keeps the operator lazy/plan-only).
+
+    The ranks side is tiny (one row per requested id) and is the broadcast
+    build side; the big table streams past it with no shuffle.
+    """
     spark = table.sparkSession
     ranks = spark.createDataFrame(
         [(int(i), r) for r, i in enumerate(ids_in_rank_order)], f"{id_col} long, rank int"
     )
-    out = table.join(F.broadcast(ranks), id_col, "right")
-    return out.orderBy("rank")
+    probe = table.withColumn("_present", F.lit(1))
+    out = probe.join(F.broadcast(ranks), id_col, "right")
+    if strict:
+        missing = [r[id_col] for r in out.filter(F.col("_present").isNull()).collect()]
+        if missing:
+            raise KeyError(f"ids not found in {id_col}: {sorted(missing)}")
+    return out.drop("_present").orderBy("rank")

@@ -18,7 +18,43 @@ float32 inputs are cast to double before accumulation.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window, functions as F
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query exact top-k of (query_id, vec_id, cosine) WITHOUT funneling
+    the whole scored relation through one partition.
+
+    Phase 1 (map-side, no shuffle): local top-k per query within each
+    partition — global top-k is a subset of the union of local top-ks, so
+    this is a lossless filter that caps the shuffle at n_partitions * k rows
+    per query. Phase 2: per-query final sort + rank over <= n_partitions * k
+    rows via applyInPandas. Same local-heaps -> tiny-global-merge shape as
+    the WAND shard path (wise_spark/index/reader.py topk).
+    """
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(["cosine", "vec_id"], ascending=[False, True])
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+
+    def final_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        out = out.reset_index(drop=True)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
+        return out
+
+    reduced = scored.mapInPandas(
+        local_topk, schema="query_id long, vec_id long, cosine double"
+    )
+    return reduced.groupBy("query_id").applyInPandas(
+        final_topk, schema="query_id long, vec_id long, cosine double, rank int"
+    )
 
 
 def _cosine(a, b):
@@ -57,12 +93,7 @@ def cosine_topk(
             F.round(_cosine(F.col("qvec"), F.col("ivec")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    return _two_phase_topk(scored, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
@@ -131,9 +162,4 @@ def lsh_cosine_topk(
             6,
         ).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    return _two_phase_topk(scored, k)

@@ -139,6 +139,10 @@ def parse_query(cmd: str, targets: list[str] | None = None) -> ParsedQuery:
     for s in subs:
         if not s.query_strs:
             raise QueryParseError("empty sub-query")
+        if len(s.vec_ops) != len(s.query_strs) - 1:
+            # a trailing '+'/'-' with no following sub-query would otherwise
+            # be silently dropped by execute()'s zip
+            raise QueryParseError(f"dangling vector operator in {s.query_strs!r}")
     return ParsedQuery(cmd=cmd, subqueries=subs, merge_ops=merge_ops)
 
 

@@ -64,10 +64,15 @@ def stream_build_index(
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        cur = current_index_dir(index_root)
-        existing = 0 if cur is None else int(os.path.basename(cur)[1:]) + 1
-        version = f"v{existing:06d}"
+        # version derived from batch_id, NOT from CURRENT: foreachBatch may
+        # replay a batch after a crash between _set_current and the streaming
+        # checkpoint commit — replay must be a no-op, never a double-extend
+        version = f"v{batch_id:06d}"
         out = os.path.join(index_root, version)
+        if os.path.exists(os.path.join(out, "meta.json")):
+            _set_current(index_root, version)  # replayed batch: already built
+            return
+        cur = current_index_dir(index_root)
         if cur is None:
             build_index(
                 batch, out, id_col=id_col, text_col=text_col, url_col=url_col,

@@ -109,10 +109,11 @@ def _get_index(spark: SparkSession, sf_dir: str):
     from wise_spark.index import FtsIndex, build_index
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), f"wise_idx_v1_{key}")
+    d = os.path.join(tempfile.gettempdir(), f"wise_idx_v2_{key}")
     if not os.path.exists(os.path.join(d, "meta.json")):
         docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-        build_index(docs, d, n_shards=8, n_buckets=8, n_salts=2, n_waves=2)
+        build_index(docs, d, n_shards=8, n_buckets=8, n_salts=2, n_waves=2,
+                    with_positions=True)
     return FtsIndex.load(spark, d)
 
 
@@ -196,6 +197,17 @@ def q_ft_bm25_wand_all(spark, sf_dir):
         pool.withColumn("score", F.round("score", 9))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(50)
+    )
+
+
+def q_ft_phrase(spark, sf_dir):
+    _ship(spark)
+    idx = _get_index(spark, sf_dir)
+    pool = idx.phrase_topk("table hash", k=100)
+    return (
+        pool.withColumn("score", F.round("score", 9))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(40)
     )
 
 
@@ -492,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_wand": q_ft_bm25_wand,
         "ft_bm25_wand_all": q_ft_bm25_wand_all,
         "ft_parsed_and": q_ft_parsed_and,
+        "ft_phrase": q_ft_phrase,
         "ft_not_in": q_ft_not_in,
         "ft_and_merge": q_ft_and_merge,
         "ft_or_merge": q_ft_or_merge,
@@ -532,6 +545,26 @@ WITH {_TOK_CTE}, {_bm25_score_cte(["spark"], "sa")}, {_bm25_score_cte(["merge"],
 SELECT sa.doc_id, round(sa.score + sb.score, 9) AS score
 FROM sa JOIN sb USING(doc_id)
 ORDER BY round(sa.score + sb.score, 9) DESC, doc_id ASC LIMIT 50
+"""
+    sqls["ft_phrase"] = f"""
+WITH {_TOK_CTE},
+ph AS (
+  SELECT doc_id, count(*) AS tf FROM (
+    SELECT b.doc_id
+    FROM (SELECT doc_id, {_TOK_SQL} AS toks FROM documents) b,
+         UNNEST(range(0, len(toks) - 1)) AS r(i)
+    WHERE toks[i + 1] = 'table' AND toks[i + 2] = 'hash'
+  ) GROUP BY doc_id
+),
+phd AS (SELECT count(*) AS df FROM ph)
+SELECT doc_id,
+       round((CASE WHEN ln((st.n_docs - phd.df + 0.5)/(phd.df + 0.5)) <= 0
+                   THEN 0.000001
+                   ELSE ln((st.n_docs - phd.df + 0.5)/(phd.df + 0.5)) END)
+             * (ph.tf * 2.2) / (ph.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)),
+             9) AS score
+FROM ph JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN phd
+ORDER BY score DESC, doc_id ASC LIMIT 40
 """
     sqls["rel_ordered_lookup"] = """
 WITH ranks(c_custkey, rank) AS (VALUES (30, 0), (5, 1), (12, 2), (1, 3), (44, 4))

@@ -1,0 +1,117 @@
+"""Phrase queries over positional postings: FTS5 rank-identity + brute force.
+
+Reference behavior: quoted phrases are passed straight into FTS5 MATCH
+(/root/reference/src/index/sqlite_search_index.py:110-113), whose bm25()
+treats the phrase as one unit — tf = occurrence count, df = matching rows.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from wise_spark.analyzer import tokenize_text
+from wise_spark.data import corpus_df
+from wise_spark.index import FtsIndex, build_index
+from wise_spark.oracle.fts5 import Fts5Oracle, fts5_available
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark):
+    docs = corpus_df(spark, 400, vocab_size=60, partitions=4).select(
+        F.monotonically_increasing_id().alias("mono"), "text"
+    )
+    from pyspark.sql import Window
+
+    docs = docs.withColumn(
+        "doc_id", F.row_number().over(Window.orderBy("text", "mono")) - 1
+    ).select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="wise_pos_idx_")
+    build_index(docs, d, n_shards=4, n_buckets=4, n_waves=2, with_positions=True)
+    idx = FtsIndex.load(spark, d)
+    pdf = docs.toPandas()
+    yield idx, pdf
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _brute_phrase(pdf, phrase):
+    """(doc_id -> occurrence count) by scanning token lists in python."""
+    seq = tokenize_text(phrase)
+    out = {}
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        toks = tokenize_text(text)
+        n = sum(
+            1
+            for i in range(len(toks) - len(seq) + 1)
+            if toks[i : i + len(seq)] == seq
+        )
+        if n:
+            out[int(doc_id)] = n
+    return out
+
+
+def _pick_phrase(pdf, length=2, min_docs=3):
+    """Deterministically pick a phrase that occurs in >= min_docs docs."""
+    from collections import Counter
+
+    c = Counter()
+    for text in pdf["text"]:
+        toks = tokenize_text(text)
+        seen = set()
+        for i in range(len(toks) - length + 1):
+            seen.add(" ".join(toks[i : i + length]))
+        c.update(seen)
+    for phrase, n in sorted(c.items(), key=lambda kv: (-kv[1], kv[0])):
+        if n >= min_docs:
+            return phrase
+    raise AssertionError("no common phrase in corpus")
+
+
+def test_phrase_matches_equal_brute_force(pos_index):
+    idx, pdf = pos_index
+    phrase = _pick_phrase(pdf)
+    want = _brute_phrase(pdf, phrase)
+    got = {
+        int(r["doc_id"]): int(r["tf"])
+        for r in idx.phrase_matches(phrase).collect()
+    }
+    assert got == want
+
+
+def test_phrase_topk_rank_identical_to_fts5(pos_index):
+    if not fts5_available():
+        pytest.skip("no FTS5 in this sqlite build")
+    idx, pdf = pos_index
+    for phrase in [_pick_phrase(pdf, 2), _pick_phrase(pdf, 3, min_docs=2)]:
+        ours = idx.phrase_topk(phrase, k=10).collect()
+        ref = Fts5Oracle(pdf).phrase_topk(phrase, k=10)
+        assert [r["doc_id"] for r in ours] == ref["doc_id"].tolist(), phrase
+        assert np.allclose(
+            [r["score"] for r in ours], ref["score"].to_numpy(), atol=1e-9
+        ), phrase
+
+
+def test_phrase_requires_positions(spark):
+    docs = corpus_df(spark, 50, vocab_size=30, partitions=2).select(
+        F.monotonically_increasing_id().alias("doc_id"), "text"
+    )
+    d = tempfile.mkdtemp(prefix="wise_nopos_idx_")
+    try:
+        build_index(docs, d, n_shards=2, n_buckets=2, n_waves=1)
+        idx = FtsIndex.load(spark, d)
+        with pytest.raises(ValueError, match="positions"):
+            idx.phrase_matches("anything here")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_single_term_phrase(pos_index):
+    idx, pdf = pos_index
+    term = tokenize_text(pdf["text"].iloc[0])[0]
+    got = {int(r["doc_id"]): int(r["tf"]) for r in idx.phrase_matches(term).collect()}
+    want = _brute_phrase(pdf, term)
+    assert got == want

@@ -118,3 +118,27 @@ def test_execute_semantics(spark):
     got = execute(parse_query("a + b in text", ["text"]), scorers)
     out = {r["doc_id"]: r["score"] for r in got.collect()}
     assert out == {1: 1.0, 2: 12.0, 3: 23.0, 4: 40.0}
+
+
+def test_quoted_multiword_is_phrase():
+    p = parse_query("'frying in pan' in video", TARGETS)
+    assert p.subqueries[0].query_types == ["phrase"]
+    p2 = parse_query("'single' in video", TARGETS)
+    assert p2.subqueries[0].query_types == ["text"]
+
+
+def test_dangling_vec_op_rejected():
+    import pytest
+    from wise_spark.query.parser import QueryParseError
+
+    with pytest.raises(QueryParseError, match="dangling"):
+        parse_query("foo +", TARGETS)
+    with pytest.raises(QueryParseError):
+        parse_query("foo + in video", TARGETS)
+
+
+def test_implicit_target_flag():
+    p = parse_query("bare words only", TARGETS)
+    assert p.subqueries[0].implicit_target is True
+    p2 = parse_query("cooking in video", TARGETS)
+    assert p2.subqueries[0].implicit_target is False

@@ -50,14 +50,18 @@ from .codec import encode_postings
 TOKENS_SCHEMA = "doc_id long, term string, tf long, doclen long, shard int"
 # wave = shard % n_waves (Stage C prunes whole wave dirs); url rides along on
 # one SENTINEL row per doc (term NULL, tf 0) so Stage B derives doc_map with
-# a map-only filter — no groupBy, no join-back to the source table
-TOKENS_WAVE_SCHEMA = TOKENS_SCHEMA + ", wave int, url string"
+# a map-only filter — no groupBy, no join-back to the source table.
+# positions: raw little-endian int32 token offsets (NULL unless the build
+# runs with_positions=True); segments re-encode them varbyte+delta.
+TOKENS_WAVE_SCHEMA = TOKENS_SCHEMA + ", wave int, url string, positions binary"
 PARTIAL_SCHEMA = (
-    "term string, shard int, bucket int, docids binary, tfs binary, doclens binary"
+    "term string, shard int, bucket int, docids binary, tfs binary, "
+    "doclens binary, positions binary"
 )
 SEGMENT_SCHEMA = (
     "term string, shard int, n long, docids binary, tfs binary, doclens binary, "
-    "blk_last array<long>, blk_max array<double>, max_tfc double, sum_tf long"
+    "positions binary, blk_last array<long>, blk_max array<double>, "
+    "max_tfc double, sum_tf long"
 )
 LINEAGE_SCHEMA = (
     "stage string, unit string, status string, rows long, bytes long, wall_ms long"
@@ -191,7 +195,8 @@ def _wave_metrics(segments_path: str, shard_list: list[int]) -> tuple[int, int]:
 
 
 def _flat_tokens_fn(
-    id_col: str, text_col: str, url_col: str | None, n_shards: int, n_waves: int
+    id_col: str, text_col: str, url_col: str | None, n_shards: int, n_waves: int,
+    with_positions: bool = False,
 ):
     """Stage A kernel: mapInPandas batches of (id, text[, url]) -> FLAT rows
     (doc_id, term, tf, doclen, shard, wave, url).
@@ -211,7 +216,7 @@ def _flat_tokens_fn(
 
     from ..analyzer.tokenizer import tokenize_text
 
-    cols = ["doc_id", "term", "tf", "doclen", "shard", "wave", "url"]
+    cols = ["doc_id", "term", "tf", "doclen", "shard", "wave", "url", "positions"]
 
     def gen(batches):
         for pdf in batches:
@@ -229,10 +234,38 @@ def _flat_tokens_fn(
                     "doclen": np.repeat(lens, lens),
                 }
             )
-            out = flat.groupby(["doc_id", "term"], sort=False, as_index=False).agg(
-                tf=("term", "size"), doclen=("doclen", "first")
-            )
-            out["tf"] = out["tf"].astype(np.int64)
+            if with_positions:
+                # per-doc token offset, then numpy group slicing (stable sort
+                # keeps offsets ascending within each (doc, term) group)
+                total = int(lens.sum())
+                pos = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.cumsum(lens) - lens, lens
+                )
+                flat["pos"] = pos
+                flat = flat.sort_values(["doc_id", "term"], kind="mergesort",
+                                        ignore_index=True)
+                d = flat["doc_id"].to_numpy(np.int64)
+                t = flat["term"].to_numpy()
+                p32 = flat["pos"].to_numpy(np.int64).astype(np.int32)
+                starts, ends = _group_bounds(d, t)
+                pbytes = p32.tobytes()
+                out = pd.DataFrame(
+                    {
+                        "doc_id": d[starts],
+                        "term": t[starts],
+                        "tf": (ends - starts).astype(np.int64),
+                        "doclen": flat["doclen"].to_numpy(np.int64)[starts],
+                        "positions": [
+                            pbytes[4 * s:4 * e] for s, e in zip(starts, ends)
+                        ],
+                    }
+                )
+            else:
+                out = flat.groupby(["doc_id", "term"], sort=False, as_index=False).agg(
+                    tf=("term", "size"), doclen=("doclen", "first")
+                )
+                out["tf"] = out["tf"].astype(np.int64)
+                out["positions"] = None
             out["url"] = None
             sent = pd.DataFrame(
                 {
@@ -241,6 +274,7 @@ def _flat_tokens_fn(
                     "tf": np.int64(0),
                     "doclen": lens,
                     "url": pdf[url_col].to_numpy() if url_col else None,
+                    "positions": None,
                 }
             )
             out = pd.concat([out, sent], ignore_index=True)
@@ -251,7 +285,7 @@ def _flat_tokens_fn(
     return gen
 
 
-def _pack_partition_fn():
+def _pack_partition_fn(with_positions: bool = False):
     """Phase 1 (split-local partials): one pass per INPUT SPLIT — sort by
     (shard, term, doc_id), split runs with numpy boundary detection, pack raw
     little-endian buffers. Runs map-side directly on the pruned wave scan (no
@@ -271,25 +305,40 @@ def _pack_partition_fn():
         tfs = np.ascontiguousarray(pdf["tf"].to_numpy(np.int32))
         dls = np.ascontiguousarray(pdf["doclen"].to_numpy(np.int32))
         starts, ends = _group_bounds(shard, terms)
-        rows = [
-            (
-                terms[s], int(shard[s]), int(bucket[s]),
-                ids[s:e].tobytes(), tfs[s:e].tobytes(), dls[s:e].tobytes(),
-            )
-            for s, e in zip(starts, ends)
-        ]
+        if with_positions:
+            pos = pdf["positions"].to_numpy()
+            rows = [
+                (
+                    terms[s], int(shard[s]), int(bucket[s]),
+                    ids[s:e].tobytes(), tfs[s:e].tobytes(), dls[s:e].tobytes(),
+                    b"".join(pos[s:e]),  # doc-ascending, aligned with tfs
+                )
+                for s, e in zip(starts, ends)
+            ]
+        else:
+            rows = [
+                (
+                    terms[s], int(shard[s]), int(bucket[s]),
+                    ids[s:e].tobytes(), tfs[s:e].tobytes(), dls[s:e].tobytes(),
+                    None,
+                )
+                for s, e in zip(starts, ends)
+            ]
         yield pd.DataFrame(
-            rows, columns=["term", "shard", "bucket", "docids", "tfs", "doclens"]
+            rows,
+            columns=["term", "shard", "bucket", "docids", "tfs", "doclens", "positions"],
         )
 
     return pack
 
 
-def _merge_partition_fn(avgdl: float):
-    """Phase 2: k-way merge the salted partial runs per (shard, term), then
-    varbyte+block-max encode. Partials are each doc_id-sorted but interleave
-    (salt hashes doc_id), so the merge is a sorted combine; (doc_id, term)
-    uniqueness is enforced by encode_postings' strictly-ascending contract."""
+def _merge_partition_fn(avgdl: float, with_positions: bool = False):
+    """Phase 2: k-way merge the split-local partial runs per (shard, term),
+    then varbyte+block-max encode. Partials are each doc_id-sorted but
+    interleave across splits, so the merge is a sorted combine; (doc_id,
+    term) uniqueness is enforced by encode_postings' strictly-ascending
+    contract. Position blocks (raw int32, aligned to postings via tf) are
+    permuted with the same doc order, then delta+varbyte encoded."""
 
     def merge(batches):
         from .codec import encode_postings_many
@@ -303,27 +352,34 @@ def _merge_partition_fn(avgdl: float):
         d_ids = pdf["docids"].to_numpy()
         d_tfs = pdf["tfs"].to_numpy()
         d_dls = pdf["doclens"].to_numpy()
+        d_pos = pdf["positions"].to_numpy() if with_positions else None
         g_starts, g_ends = _group_bounds(shard, terms)
-        # merge the salted partials per (shard, term) into one big sorted
+        # merge the partials per (shard, term) into one big sorted
         # concatenation, then encode EVERY list in one vectorized pass
-        ids_parts, tfs_parts, dls_parts, lens = [], [], [], []
+        ids_parts, tfs_parts, dls_parts, pos_parts, lens = [], [], [], [], []
         for s, e in zip(g_starts, g_ends):
             if e - s == 1:
                 ids = np.frombuffer(d_ids[s], dtype=np.int64)
                 tfs = np.frombuffer(d_tfs[s], dtype=np.int32).astype(np.int64)
                 dls = np.frombuffer(d_dls[s], dtype=np.int32).astype(np.int64)
+                pos = (np.frombuffer(d_pos[s], dtype=np.int32).astype(np.int64)
+                       if with_positions else None)
                 if not (ids[1:] > ids[:-1]).all():
                     order = np.argsort(ids, kind="mergesort")
-                    ids, tfs, dls = ids[order], tfs[order], dls[order]
+                    ids, tfs, dls, pos = _permute(ids, tfs, dls, pos, order)
             else:
                 ids = np.concatenate([np.frombuffer(b, dtype=np.int64) for b in d_ids[s:e]])
                 tfs = np.concatenate([np.frombuffer(b, dtype=np.int32) for b in d_tfs[s:e]]).astype(np.int64)
                 dls = np.concatenate([np.frombuffer(b, dtype=np.int32) for b in d_dls[s:e]]).astype(np.int64)
+                pos = (np.concatenate([np.frombuffer(b, dtype=np.int32) for b in d_pos[s:e]]).astype(np.int64)
+                       if with_positions else None)
                 order = np.argsort(ids, kind="mergesort")
-                ids, tfs, dls = ids[order], tfs[order], dls[order]
+                ids, tfs, dls, pos = _permute(ids, tfs, dls, pos, order)
             ids_parts.append(ids)
             tfs_parts.append(tfs)
             dls_parts.append(dls)
+            if with_positions:
+                pos_parts.append(pos)
             lens.append(ids.size)
         lens = np.asarray(lens, dtype=np.int64)
         ends = np.cumsum(lens)
@@ -331,24 +387,39 @@ def _merge_partition_fn(avgdl: float):
         encs = encode_postings_many(
             np.concatenate(ids_parts), np.concatenate(tfs_parts),
             np.concatenate(dls_parts), starts, ends, avgdl,
+            positions=np.concatenate(pos_parts) if with_positions else None,
         )
         out = [
             (
                 terms[s], int(shard[s]), enc["n"], enc["docids"], enc["tfs"],
-                enc["doclens"], enc["blk_last"], enc["blk_max"],
-                enc["max_tfc"], enc["sum_tf"],
+                enc["doclens"], enc["positions"], enc["blk_last"],
+                enc["blk_max"], enc["max_tfc"], enc["sum_tf"],
             )
             for (s, enc) in zip(g_starts, encs)
         ]
         yield pd.DataFrame(
             out,
             columns=[
-                "term", "shard", "n", "docids", "tfs", "doclens",
+                "term", "shard", "n", "docids", "tfs", "doclens", "positions",
                 "blk_last", "blk_max", "max_tfc", "sum_tf",
             ],
         )
 
     return merge
+
+
+def _permute(ids, tfs, dls, pos, order):
+    """Reorder postings by `order`; position BLOCKS (variable length, tf each)
+    move with their posting via a vectorized block gather."""
+    new_pos = None
+    if pos is not None:
+        src_off = np.cumsum(tfs) - tfs
+        ord_tfs = tfs[order]
+        dst_base = np.cumsum(ord_tfs) - ord_tfs
+        within = np.arange(int(tfs.sum()), dtype=np.int64) - np.repeat(dst_base, ord_tfs)
+        gather = np.repeat(src_off[order], ord_tfs) + within
+        new_pos = pos[gather]
+    return ids[order], tfs[order], dls[order], new_pos
 
 
 def build_index(
@@ -362,6 +433,7 @@ def build_index(
     n_salts: int = 4,
     n_waves: int = 4,
     resume: bool = True,
+    with_positions: bool = False,
     fail_after_waves: int | None = None,  # test hook: simulate a mid-build kill
 ) -> IndexMeta:
     spark = docs.sparkSession
@@ -387,7 +459,7 @@ def build_index(
             sel.append(F.col(url_col).alias("url"))
         tf = docs.select(*sel).mapInPandas(
             _flat_tokens_fn("doc_id", "text", "url" if url_col else None,
-                            n_shards, n_waves),
+                            n_shards, n_waves, with_positions=with_positions),
             schema=TOKENS_WAVE_SCHEMA,
         )
         tf.write.mode("overwrite").partitionBy("wave").parquet(tokens_path)
@@ -471,9 +543,12 @@ def build_index(
         # .partitions), then writes straight into shard= dirs (no write-side
         # repartition; each reduce task writes its shards' files directly).
         p2 = max(2 * par, 8)
-        partial = tf.mapInPandas(_pack_partition_fn(), schema=PARTIAL_SCHEMA)
+        partial = tf.mapInPandas(
+            _pack_partition_fn(with_positions=with_positions), schema=PARTIAL_SCHEMA
+        )
         segs = partial.repartition(p2, "shard", "bucket").mapInPandas(
-            _merge_partition_fn(avgdl), schema=SEGMENT_SCHEMA
+            _merge_partition_fn(avgdl, with_positions=with_positions),
+            schema=SEGMENT_SCHEMA,
         )
         segs.write.mode("append").partitionBy("shard").parquet(segments_path)
         postings, nbytes = _wave_metrics(segments_path, shard_list)
@@ -519,6 +594,7 @@ def build_index(
         n_shards=n_shards,
         n_buckets=n_buckets,
         n_salts=n_salts,
+        extras={"with_positions": with_positions},
     )
     meta.save(index_dir)  # build-complete marker, written last
     return meta

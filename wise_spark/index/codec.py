@@ -96,6 +96,59 @@ def encode_postings(
     return out[0]
 
 
+def encode_positions_many(
+    positions: np.ndarray,
+    tfs: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+) -> list[bytes]:
+    """Varbyte-encode per-posting position lists for MANY posting lists.
+
+    `positions` is the concatenation of every posting's ascending position
+    list (len == sum(tfs)); tfs gives each posting's count; (starts, ends)
+    delimit the POSTING ranges of each list. Within each posting the first
+    position is absolute and the rest are deltas (same layout as docids).
+    Returns one bytes object per list.
+    """
+    positions = np.ascontiguousarray(positions, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if positions.size == 0:
+        return [b""] * max(0, len(starts))
+    p_ends = np.cumsum(tfs)
+    p_starts = p_ends - tfs  # every posting boundary restarts the delta chain
+    u = positions.view(np.uint64)
+    gaps = np.empty(positions.size, dtype=np.uint64)
+    gaps[0] = u[0]
+    with np.errstate(over="ignore"):
+        gaps[1:] = u[1:] - u[:-1]
+    gaps[p_starts] = u[p_starts]
+    buf, off = _vb_encode_arr(gaps)
+    raw = buf.tobytes()
+    out = []
+    for s, e in zip(starts, ends):
+        if e - s == 0 or p_ends[e - 1] == p_starts[s]:
+            out.append(b"")
+            continue
+        lo = int(p_starts[s])
+        hi = int(p_ends[e - 1])
+        b0 = int(off[lo - 1]) if lo > 0 else 0
+        out.append(raw[b0:int(off[hi - 1])])
+    return out
+
+
+def decode_positions(buf: bytes | np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of encode_positions_many for ONE list -> flat int64 positions
+    (len == sum(tfs)); slice per posting with cumsum(tfs)."""
+    v = vb_decode(buf).view(np.int64)
+    if v.size == 0:
+        return v
+    tfs = np.asarray(tfs, dtype=np.int64)
+    p_starts = np.cumsum(tfs) - tfs
+    cs = np.cumsum(v)
+    base = cs[p_starts] - v[p_starts]
+    return cs - np.repeat(base, tfs)
+
+
 def encode_postings_many(
     ids: np.ndarray,
     tfs: np.ndarray,
@@ -103,6 +156,7 @@ def encode_postings_many(
     starts: np.ndarray,
     ends: np.ndarray,
     avgdl: float,
+    positions: np.ndarray | None = None,
 ) -> list[dict]:
     """Encode MANY posting lists in one vectorized pass.
 
@@ -110,6 +164,8 @@ def encode_postings_many(
     each list. This is the hot path of the index build: varbyte encoding,
     tf-components, and block maxima are computed across every list at once
     (numpy reduceat), then sliced per list — no per-list Python arithmetic.
+    With `positions` (flat, aligned to postings via tfs) each output dict
+    also carries a varbyte 'positions' payload.
     """
     from ..query.bm25 import tf_component
 
@@ -161,6 +217,11 @@ def encode_postings_many(
     ts_, te = byte_range(off_t)
     ds_, de = byte_range(off_d)
     gbytes, tbytes, dbytes = buf_g.tobytes(), buf_t.tobytes(), buf_d.tobytes()
+    pos_bufs = (
+        encode_positions_many(positions, tfs, starts, ends)
+        if positions is not None
+        else None
+    )
     out = []
     for i in range(starts.size):
         out.append(
@@ -169,6 +230,7 @@ def encode_postings_many(
                 "docids": gbytes[gs[i]:ge[i]],
                 "tfs": tbytes[ts_[i]:te[i]],
                 "doclens": dbytes[ds_[i]:de[i]],
+                "positions": pos_bufs[i] if pos_bufs is not None else None,
                 "blk_last": blk_last_all[blk_bounds[i]:blk_bounds[i + 1]].tolist(),
                 "blk_max": blk_max_all[blk_bounds[i]:blk_bounds[i + 1]].tolist(),
                 "max_tfc": float(max_tfc[i]),

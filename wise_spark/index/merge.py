@@ -29,11 +29,12 @@ from .build import (
     _append_lineage,
     _concat_batches,
     _group_bounds,
+    _permute,
 )
-from .codec import encode_postings_many, vb_decode
+from .codec import decode_positions, encode_postings_many, vb_decode
 
 
-def _remerge_fn(avgdl: float):
+def _remerge_fn(avgdl: float, with_positions: bool = False):
     """Re-encode per (shard, term) groups whose rows are encoded segment rows
     from either input index (1 or 2 rows per group)."""
 
@@ -45,24 +46,30 @@ def _remerge_fn(avgdl: float):
         shard = pdf["shard"].to_numpy(np.int32)
         terms = pdf["term"].to_numpy()
         g_starts, g_ends = _group_bounds(shard, terms)
-        ids_parts, tfs_parts, dls_parts, lens = [], [], [], []
+        ids_parts, tfs_parts, dls_parts, pos_parts, lens = [], [], [], [], []
         for s, e in zip(g_starts, g_ends):
-            ids_l, tfs_l, dls_l = [], [], []
+            ids_l, tfs_l, dls_l, pos_l = [], [], [], []
             for j in range(s, e):
                 gaps = vb_decode(bytes(pdf["docids"].iat[j]))
                 with np.errstate(over="ignore"):
                     ids_l.append(np.cumsum(gaps, dtype=np.uint64).view(np.int64))
-                tfs_l.append(vb_decode(bytes(pdf["tfs"].iat[j])).astype(np.int64) + 1)
+                tfs_j = vb_decode(bytes(pdf["tfs"].iat[j])).astype(np.int64) + 1
+                tfs_l.append(tfs_j)
                 dls_l.append(vb_decode(bytes(pdf["doclens"].iat[j])).astype(np.int64))
+                if with_positions:
+                    pos_l.append(decode_positions(bytes(pdf["positions"].iat[j]), tfs_j))
             ids = np.concatenate(ids_l)
             tfs = np.concatenate(tfs_l)
             dls = np.concatenate(dls_l)
+            pos = np.concatenate(pos_l) if with_positions else None
             if e - s > 1:
                 order = np.argsort(ids, kind="mergesort")
-                ids, tfs, dls = ids[order], tfs[order], dls[order]
+                ids, tfs, dls, pos = _permute(ids, tfs, dls, pos, order)
             ids_parts.append(ids)
             tfs_parts.append(tfs)
             dls_parts.append(dls)
+            if with_positions:
+                pos_parts.append(pos)
             lens.append(ids.size)
         lens = np.asarray(lens, dtype=np.int64)
         ends = np.cumsum(lens)
@@ -70,11 +77,12 @@ def _remerge_fn(avgdl: float):
         encs = encode_postings_many(
             np.concatenate(ids_parts), np.concatenate(tfs_parts),
             np.concatenate(dls_parts), starts, ends, avgdl,
+            positions=np.concatenate(pos_parts) if with_positions else None,
         )
         out = [
             (
                 terms[s], int(shard[s]), enc["n"], enc["docids"], enc["tfs"],
-                enc["doclens"], enc["blk_last"], enc["blk_max"],
+                enc["doclens"], enc["positions"], enc["blk_last"], enc["blk_max"],
                 enc["max_tfc"], enc["sum_tf"],
             )
             for s, enc in zip(g_starts, encs)
@@ -82,7 +90,7 @@ def _remerge_fn(avgdl: float):
         yield pd.DataFrame(
             out,
             columns=[
-                "term", "shard", "n", "docids", "tfs", "doclens",
+                "term", "shard", "n", "docids", "tfs", "doclens", "positions",
                 "blk_last", "blk_max", "max_tfc", "sum_tf",
             ],
         )
@@ -115,12 +123,15 @@ def merge_indexes(
     ).collect()[0]
     n_docs, avgdl = int(srow["n"]), float(srow["avgdl"] or 0.0)
 
+    with_pos = bool(ma.extras.get("with_positions")) and bool(
+        mb.extras.get("with_positions")
+    )
     segs = spark.read.parquet(os.path.join(dir_a, "segments")).unionByName(
-        spark.read.parquet(os.path.join(dir_b, "segments"))
+        spark.read.parquet(os.path.join(dir_b, "segments")), allowMissingColumns=True
     )
     par = spark.sparkContext.defaultParallelism
     merged = segs.repartition(max(par, 4), "shard", "term").mapInPandas(
-        _remerge_fn(avgdl), schema=SEGMENT_SCHEMA
+        _remerge_fn(avgdl, with_positions=with_pos), schema=SEGMENT_SCHEMA
     )
     merged.repartition(ma.n_shards, "shard").write.mode("overwrite").partitionBy(
         "shard"
@@ -145,6 +156,7 @@ def merge_indexes(
         n_docs=n_docs, avgdl=avgdl,
         total_tokens=int(srow["total"] or 0), n_terms=n_terms,
         n_shards=ma.n_shards, n_buckets=ma.n_buckets, n_salts=ma.n_salts,
+        extras={"with_positions": with_pos},
     )
     meta.save(out_dir)
     return meta

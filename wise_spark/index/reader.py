@@ -98,14 +98,22 @@ class FtsIndex:
 
     # -- scoring -------------------------------------------------------------
 
-    def _matched_segments(self, terms: list[str]) -> DataFrame:
-        return self._segments.filter(F.col("term").isin(terms))
+    # scoring reads only these columns — positions are pruned from the scan
+    # unless a phrase query asks for them
+    _SCORE_COLS = [
+        "term", "shard", "n", "docids", "tfs", "doclens",
+        "blk_last", "blk_max", "max_tfc", "sum_tf",
+    ]
 
-    def _shard_partitioned(self, terms: list[str]) -> DataFrame:
+    def _matched_segments(self, terms: list[str], with_positions: bool = False) -> DataFrame:
+        cols = self._SCORE_COLS + (["positions"] if with_positions else [])
+        return self._segments.filter(F.col("term").isin(terms)).select(*cols)
+
+    def _shard_partitioned(self, terms: list[str], with_positions: bool = False) -> DataFrame:
         """Matched posting rows, hash-distributed by shard over a small
         explicit partition count (a whole shard never splits — each shard's
         scores are computed completely and locally)."""
-        return self._matched_segments(terms).repartition(
+        return self._matched_segments(terms, with_positions).repartition(
             self._query_partitions, "shard"
         )
 
@@ -170,6 +178,97 @@ class FtsIndex:
             run, schema="doc_id long, score double"
         )
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # -- phrase queries --------------------------------------------------------
+
+    def phrase_matches(self, phrase: str) -> DataFrame:
+        """All (doc_id, tf, doclen) where the exact token sequence occurs;
+        tf = number of phrase occurrences (FTS5 phrase semantics,
+        /root/reference/src/index/sqlite_search_index.py:110-113 executes
+        quoted phrases through FTS5 MATCH).
+
+        Needs a with_positions=True index. Per shard the match is fully
+        vectorized: each term's (doc_id, position) pairs become int keys
+        doc_id * 2^32 + pos, and the phrase is the running intersection of
+        (keys(term_i) - i) — no per-doc Python loop.
+        """
+        if not self.meta.extras.get("with_positions"):
+            raise ValueError("index was built without positions (with_positions=True)")
+        seq = self.query_terms_ordered(phrase)
+        empty = self.spark.createDataFrame([], "doc_id long, tf long, doclen long")
+        if not seq:
+            return empty
+        uniq = sorted(set(seq))
+        dfs = self.term_stats(uniq)
+        if any(t not in dfs for t in uniq):
+            return empty
+
+        def run(batches):
+            import numpy as np
+
+            from .codec import decode_positions, decode_postings
+
+            pdf = _concat(batches)
+            if pdf is None:
+                return
+            for _, g in pdf.groupby("shard", sort=False):
+                rows = {r["term"]: r for _, r in g.iterrows()}
+                if any(t not in rows for t in seq):
+                    continue
+                keys = None
+                ids0 = dls0 = None
+                for i, t in enumerate(seq):
+                    ids, tfs, dls = decode_postings(rows[t])
+                    pos = decode_positions(bytes(rows[t]["positions"]), tfs)
+                    k = np.repeat(ids, tfs) * (1 << 32) + pos - i
+                    if i == 0:
+                        ids0, dls0 = ids, dls
+                    keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+                    if keys.size == 0:
+                        break
+                if keys is None or keys.size == 0:
+                    continue
+                doc = (keys >> 32).astype(np.int64)
+                uniq_doc, counts = np.unique(doc, return_counts=True)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": uniq_doc,
+                        "tf": counts.astype(np.int64),
+                        # doclen via sorted lookup in the first term's list
+                        # (every match contains term 0)
+                        "doclen": dls0[np.searchsorted(ids0, uniq_doc)],
+                    }
+                )
+
+        return self._shard_partitioned(uniq, with_positions=True).mapInPandas(
+            run, schema="doc_id long, tf long, doclen long"
+        )
+
+    def phrase_topk(self, phrase: str, k: int = 10) -> DataFrame:
+        """Top-k BM25 treating the phrase as ONE virtual term: its tf is the
+        occurrence count and its df the number of matching docs (exactly how
+        FTS5's bm25() scores a quoted phrase). Two jobs: a global df count
+        (tiny relation), then score + TakeOrderedAndProject."""
+        from ..query.bm25 import idf_scalar, tf_component_col
+
+        matches = self.phrase_matches(phrase)
+        matches.persist()
+        df_phrase = matches.count()
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if df_phrase == 0:
+            return empty
+        idf = idf_scalar(df_phrase, self.meta.n_docs)
+        scored = matches.select(
+            "doc_id",
+            (F.lit(idf) * tf_component_col(F.col("tf"), F.col("doclen"),
+                                           self.meta.avgdl)).alias("score"),
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def query_terms_ordered(self, query: str) -> list[str]:
+        from ..analyzer import tokenize_text
+
+        return tokenize_text(query)
 
     def scorer(self):
         """(query, mode) -> score_all DataFrame, for wise_spark.query.search."""

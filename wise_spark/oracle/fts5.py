@@ -66,3 +66,23 @@ class Fts5Oracle:
 
     def topk(self, query: str, k: int = 10, mode: str = "all") -> pd.DataFrame:
         return self.score_all(query, mode).head(k).reset_index(drop=True)
+
+    def phrase_topk(self, phrase: str, k: int = 10) -> pd.DataFrame:
+        """Quoted-phrase MATCH (the reference passes quoted phrases straight
+        into FTS5, src/index/sqlite_search_index.py:110-113)."""
+        toks = tokenize_text(phrase)
+        if not toks:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        expr = '"' + " ".join(toks) + '"'
+        rows = self.con.execute(
+            "SELECT rowid, -bm25(d) FROM d WHERE d MATCH ?", (expr,)
+        ).fetchall()
+        out = pd.DataFrame(rows, columns=["doc_id", "score"]).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+        return (
+            out.sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )

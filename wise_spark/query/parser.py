@@ -39,10 +39,11 @@ class QueryParseError(ValueError):
 @dataclass
 class SubQuery:
     query_strs: list[str] = field(default_factory=list)
-    query_types: list[str] = field(default_factory=list)  # 'text' | 'file'
+    query_types: list[str] = field(default_factory=list)  # 'text'|'file'|'phrase'
     vec_ops: list[str] = field(default_factory=list)      # '+' | '-' between parts
     target: str = ""
     link: str = ""                                        # 'in' | 'not in'
+    implicit_target: bool = False                         # no 'in <target>' given
 
 
 @dataclass
@@ -86,6 +87,11 @@ def parse_query(cmd: str, targets: list[str] | None = None) -> ParsedQuery:
                     raise QueryParseError(f"unterminated quote at {i}")
                 qs = cmd[i + 1 : end]
                 i = end + 1
+                # a quoted multi-word query is a PHRASE (FTS5 MATCH treats
+                # quotes the same way; the reference passes them through,
+                # src/index/sqlite_search_index.py:110-113)
+                if qtype == "text" and " " in qs.strip():
+                    qtype = "phrase"
             else:
                 # unquoted: consume words until a vec-op / link keyword
                 words = []
@@ -133,9 +139,13 @@ def parse_query(cmd: str, targets: list[str] | None = None) -> ParsedQuery:
             subs.append(SubQuery())
             need_query = True
     if not subs[-1].target:
-        # bare query with no 'in <target>': default target, link 'in'
+        # bare query with no 'in <target>': default target, link 'in'.
+        # implicit_target lets execute() fan the query out across ALL targets
+        # (the reference unions audio+video+metadata when no target is named,
+        # search.py:866-871)
         subs[-1].target = targets[0]
         subs[-1].link = subs[-1].link or "in"
+        subs[-1].implicit_target = True
     for s in subs:
         if not s.query_strs:
             raise QueryParseError("empty sub-query")
@@ -151,10 +161,16 @@ def execute(
     scorers: dict,
     mode: str = "any",
     k: int | None = None,
+    phrase_scorers: dict | None = None,
 ):
     """Execute a parsed query. scorers: {target: (query, mode) -> DataFrame
     (doc_id, score)}. Returns the merged score relation (unranked); callers
     apply `ranked()`.
+
+    phrase_scorers: optional {target: (phrase) -> DataFrame} for quoted
+    multi-word queries (FtsIndex positional phrase scoring). Without one,
+    a phrase degrades to a bag-of-terms conjunction with a warning-free
+    fallback (documented: the pre-positions behavior).
 
     Execution order mirrors the reference: NOT-IN sub-queries run first and
     subtract from the positive results (/root/reference/search.py:79-113);
@@ -165,16 +181,37 @@ def execute(
 
     from .search import and_merge, or_merge, subtract
 
-    def run_sub(s: SubQuery):
-        scorer = scorers[s.target]
-        rel = scorer(s.query_strs[0], mode)
-        for op, q in zip(s.vec_ops, s.query_strs[1:]):
-            nxt = scorer(q, mode)
+    def score_one(s: SubQuery, idx: int, target: str | None = None):
+        q = s.query_strs[idx]
+        tgt = target or s.target
+        if (
+            s.query_types[idx] == "phrase"
+            and phrase_scorers is not None
+            and tgt in phrase_scorers
+        ):
+            return phrase_scorers[tgt](q)
+        return scorers[tgt](q, "all" if s.query_types[idx] == "phrase" else mode)
+
+    def run_sub_target(s: SubQuery, target: str):
+        rel = score_one(s, 0, target)
+        for j, op in enumerate(s.vec_ops):
+            nxt = score_one(s, j + 1, target)
             if op == "+":
                 rel = or_merge_sum(rel, nxt)
             else:
                 rel = minus_weighted(rel, nxt)
         return rel
+
+    def run_sub(s: SubQuery):
+        # implicit target -> fan out across every registered target, merged
+        # with union-max (reference unions all indexes, search.py:866-871)
+        if s.implicit_target and len(scorers) > 1:
+            rels = [run_sub_target(s, t) for t in sorted(scorers)]
+            out = rels[0]
+            for r in rels[1:]:
+                out = or_merge(out, r)
+            return out
+        return run_sub_target(s, s.target)
 
     def or_merge_sum(a, b):
         return (

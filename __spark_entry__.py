@@ -83,11 +83,19 @@ def _bm25_score_cte(terms: list[str], cte_name: str) -> str:
 """
 
 
+_FT_CORPUS_CACHE: dict = {}
+
+
 def _ft_corpus(spark: SparkSession, sf_dir: str):
+    """One cached TokenizedCorpus per (session, sf_dir): every ft_* entry
+    shares a single tokenize pass instead of re-tokenizing the corpus."""
     from wise_spark.query.naive import TokenizedCorpus
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return TokenizedCorpus.build(docs)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if key not in _FT_CORPUS_CACHE:
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        _FT_CORPUS_CACHE[key] = TokenizedCorpus.build(docs, cache=True)
+    return _FT_CORPUS_CACHE[key]
 
 
 def _ft_topk_spark(spark, sf_dir, query, k, mode):
@@ -333,6 +341,66 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_fingerprints(d).orderBy("doc_id")
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    from wise_spark.pipeline import simhash_pairs
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = base.filter(F.col("doc_id") < 100).unionByName(
+        base.filter(F.col("doc_id") < 20).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(100000)
+        )
+    )
+    return (
+        simhash_pairs(d, max_hamming=3)
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_META_CSV_ROWS = [
+    # (metadata_id, filename=doc_id, starttime, stoptime, tag)
+    ("m0", "0", "0:00:02", "0:00:09", "intro"),
+    ("m1", "1", "12.5", "200.0", "speech"),
+    ("m2", "2", "-1", "5", "bad-negative-start"),
+    ("m3", "3", "0:30:00", "0:31:00", "start-past-limit"),
+    ("m4", "4", "9", "3", "stop-before-start"),
+    ("m5", "99999999", "0", "1", "missing-doc"),
+    ("m6", "5", "0:00:00", "0:00:00", "empty-range-ok"),
+    ("m7", "6", "30", "0:01:40", "mixed-formats"),
+]
+
+
+def q_meta_csv_import(spark, sf_dir):
+    """Metadata CSV import: validation join + reject filtering + composed
+    columns (reference /root/reference/metadata.py:111-256). The CSV is
+    written from constants (idempotent) so the DuckDB oracle can embed the
+    identical rows as VALUES."""
+    import csv as _csv
+    import os
+    import tempfile
+
+    from wise_spark.sources import import_metadata_csv
+
+    path = os.path.join(tempfile.gettempdir(), "wise_meta_import.csv")
+    with open(path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["metadata_id", "filename", "starttime", "stoptime", "tag"])
+        w.writerows(_META_CSV_ROWS)
+    docs = _t(spark, sf_dir, "documents")
+    res = import_metadata_csv(
+        spark, path, docs, key_col="doc_id", limit_col="n_chars",
+        metadata_cols=["tag"],
+    )
+    valid = res["valid"].select(
+        F.col("__metadata_id").alias("metadata_id"),
+        F.col("__key").alias("doc_id"),
+        F.col("__starttime").alias("starttime"),
+        F.col("__stoptime").alias("stoptime"),
+        "tag",
+    )
+    return valid.orderBy("metadata_id")
+
+
 def q_text_fingerprints(spark, sf_dir):
     from wise_spark.pipeline import fingerprints
 
@@ -489,6 +557,64 @@ def q_rel_customers_without_orders(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # contract functions
+_EVAL_QUERIES = [(0, "spark merge window"), (1, "spark table"), (2, "hash join merge")]
+
+
+def q_eval_map_bm25(spark, sf_dir):
+    """Retrieval eval harness (reference retrieval_eval.py:29-68): per-query
+    Average Precision of the BM25 any-mode top-50 ranking, judged against
+    exact all-terms-present relevance."""
+    from wise_spark.eval import average_precision
+    from wise_spark.query.naive import score_query
+    from wise_spark.query.search import ranked
+
+    corpus = _ft_corpus(spark, sf_dir)
+    res_parts, truth_parts = [], []
+    for qid, q in _EVAL_QUERIES:
+        scored = score_query(corpus, q, "any").withColumn(
+            "score", F.round("score", 9)
+        )
+        r = ranked(scored, 50).select(
+            F.lit(qid).alias("query_id"), "doc_id", "rank"
+        )
+        res_parts.append(r)
+        t = score_query(corpus, q, "all").select(
+            F.lit(qid).alias("query_id"), "doc_id"
+        )
+        truth_parts.append(t)
+    results = res_parts[0]
+    for x in res_parts[1:]:
+        results = results.unionByName(x)
+    truth = truth_parts[0]
+    for x in truth_parts[1:]:
+        truth = truth.unionByName(x)
+    ap = average_precision(results, truth)
+    return ap.select(
+        "query_id", F.round("ap", 9).alias("ap"), "n_rel", "n_retrieved_rel"
+    ).orderBy("query_id")
+
+
+def q_ann_lsh_recall(spark, sf_dir):
+    """Recall@10 of LSH-bucketed cosine top-k vs exact cosine top-k, per
+    query — the eval table the reference publishes for IVF vs exact
+    (/root/reference/docs/Search-Index-Evaluation.md)."""
+    from wise_spark.eval import recall_at_k
+    from wise_spark.pipeline import cosine_topk, lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=10).select(
+        "query_id", F.col("vec_id").alias("doc_id")
+    )
+    lsh = lsh_cosine_topk(emb, queries, k=10).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    rec = recall_at_k(lsh, exact, 10)
+    return rec.select(
+        "query_id", F.round("recall", 6).alias("recall")
+    ).orderBy("query_id")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -516,6 +642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "meta_csv_import": q_meta_csv_import,
         "text_fingerprints": q_text_fingerprints,
         "text_quality": q_text_quality,
         "text_lang_guess": q_text_lang_guess,
@@ -528,6 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_best_event_per_user": q_rel_best_event_per_user,
         "rel_ordered_lookup": q_rel_ordered_lookup,
         "emb_norms": q_emb_norms,
+        "eval_map_bm25": q_eval_map_bm25,
+        "ann_lsh_recall": q_ann_lsh_recall,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_customers": q_rel_top_customers,
         "rel_customers_without_orders": q_rel_customers_without_orders,
@@ -674,6 +804,137 @@ WITH tf AS (
 ),
 votes AS (SELECT doc_id, {bit_votes} FROM tf GROUP BY doc_id)
 SELECT doc_id, {bit_concat} AS simhash FROM votes ORDER BY doc_id
+"""
+    _eq = {0: ["spark", "merge", "window"], 1: ["spark", "table"], 2: ["hash", "join", "merge"]}
+    _eval_ctes = ", ".join(_bm25_score_cte(t, f"eq{i}").strip() for i, t in _eq.items())
+    _res_u = " UNION ALL ".join(
+        f"SELECT {i} AS query_id, doc_id, CAST(row_number() OVER (ORDER BY round(score,9) DESC, doc_id) - 1 AS BIGINT) AS rank "
+        f"FROM (SELECT doc_id, score FROM eq{i} ORDER BY round(score,9) DESC, doc_id LIMIT 50)"
+        for i in _eq
+    )
+    _truth_u = " UNION ALL ".join(
+        f"SELECT {i} AS query_id, doc_id FROM eq{i} WHERE n_hit = {len(set(t))}"
+        for i, t in _eq.items()
+    )
+    sqls["eval_map_bm25"] = f"""
+WITH {_TOK_CTE}, {_eval_ctes},
+res AS ({_res_u}),
+truth AS ({_truth_u}),
+rel AS (
+  SELECT r.query_id, r.rank,
+         CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+  FROM res r LEFT JOIN truth t ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+),
+w AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id ORDER BY rank) AS k,
+         sum(rel) OVER (PARTITION BY query_id ORDER BY rank ROWS UNBOUNDED PRECEDING) AS cum_rel
+  FROM rel
+),
+perq AS (
+  SELECT query_id, sum(rel * cum_rel / k) AS ap_num,
+         CAST(sum(rel) AS BIGINT) AS n_retrieved_rel
+  FROM w GROUP BY query_id
+),
+nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM truth GROUP BY query_id)
+SELECT n.query_id, round(coalesce(p.ap_num, 0) / n.n_rel, 9) AS ap,
+       n.n_rel, coalesce(p.n_retrieved_rel, 0) AS n_retrieved_rel
+FROM nrel n LEFT JOIN perq p USING(query_id) ORDER BY query_id
+"""
+    from wise_spark.pipeline.similarity import _hyperplanes
+    _dvec = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    _sig_tables = []
+    for _tb in range(4):
+        _planes = _hyperplanes(64, 6, 7 + _tb)
+        _bits = " || ".join(
+            f"(CASE WHEN list_dot_product({_dvec}, {[float(x) for x in pl]!r}) >= 0 THEN '1' ELSE '0' END)"
+            for pl in _planes
+        )
+        _sig_tables.append(
+            f"SELECT vec_id, embedding, 't{_tb}:' || {_bits} AS bucket FROM embeddings"
+        )
+    _sig_sql = " UNION ALL ".join(_sig_tables)
+    sqls["ann_lsh_recall"] = f"""
+WITH sigs AS ({_sig_sql}),
+qs AS (SELECT * FROM sigs WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, i.vec_id,
+         list_transform(q.embedding, x -> CAST(x AS DOUBLE)) AS qv,
+         list_transform(i.embedding, x -> CAST(x AS DOUBLE)) AS iv
+  FROM sigs i JOIN qs q ON i.bucket = q.bucket AND i.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(qv, iv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(iv, iv))), 6) AS cosine
+  FROM cand
+),
+lsh AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+),
+alld AS (
+  SELECT q.vec_id AS query_id, i.vec_id,
+         round(list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                                list_transform(i.embedding, x -> CAST(x AS DOUBLE))) /
+               (sqrt(list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                                      list_transform(q.embedding, x -> CAST(x AS DOUBLE)))) *
+                sqrt(list_dot_product(list_transform(i.embedding, x -> CAST(x AS DOUBLE)),
+                                      list_transform(i.embedding, x -> CAST(x AS DOUBLE))))), 6) AS cosine
+  FROM embeddings i, embeddings q
+  WHERE q.vec_id < 5 AND i.vec_id <> q.vec_id
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+    FROM alld
+  ) WHERE rk <= 10
+)
+SELECT e.query_id,
+       round(CAST(count(l.vec_id) AS DOUBLE) / count(*), 6) AS recall
+FROM exact e
+LEFT JOIN (SELECT query_id, vec_id FROM lsh WHERE rk <= 10) l
+  ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+GROUP BY e.query_id ORDER BY e.query_id
+"""
+    sqls["meta_csv_import"] = """
+WITH meta(metadata_id, filename, starttime, stoptime, tag) AS (VALUES
+  ('m0', '0', '0:00:02', '0:00:09', 'intro'),
+  ('m1', '1', '12.5', '200.0', 'speech'),
+  ('m2', '2', '-1', '5', 'bad-negative-start'),
+  ('m3', '3', '0:30:00', '0:31:00', 'start-past-limit'),
+  ('m4', '4', '9', '3', 'stop-before-start'),
+  ('m5', '99999999', '0', '1', 'missing-doc'),
+  ('m6', '5', '0:00:00', '0:00:00', 'empty-range-ok'),
+  ('m7', '6', '30', '0:01:40', 'mixed-formats')),
+conv AS (
+  SELECT metadata_id, CAST(filename AS BIGINT) AS doc_id,
+         (CASE WHEN len(string_split(starttime, ':')) = 3 THEN CAST(string_split(starttime, ':')[1] AS DOUBLE)*3600 + CAST(string_split(starttime, ':')[2] AS DOUBLE)*60 + CAST(string_split(starttime, ':')[3] AS DOUBLE) WHEN len(string_split(starttime, ':')) = 2 THEN CAST(string_split(starttime, ':')[1] AS DOUBLE)*60 + CAST(string_split(starttime, ':')[2] AS DOUBLE) ELSE CAST(starttime AS DOUBLE) END) AS starttime,
+         (CASE WHEN len(string_split(stoptime, ':')) = 3 THEN CAST(string_split(stoptime, ':')[1] AS DOUBLE)*3600 + CAST(string_split(stoptime, ':')[2] AS DOUBLE)*60 + CAST(string_split(stoptime, ':')[3] AS DOUBLE) WHEN len(string_split(stoptime, ':')) = 2 THEN CAST(string_split(stoptime, ':')[1] AS DOUBLE)*60 + CAST(string_split(stoptime, ':')[2] AS DOUBLE) ELSE CAST(stoptime AS DOUBLE) END) AS stoptime, tag
+  FROM meta
+)
+SELECT c.metadata_id, c.doc_id, c.starttime, c.stoptime, c.tag
+FROM conv c JOIN documents d ON c.doc_id = d.doc_id
+WHERE c.starttime >= 0 AND c.starttime < d.n_chars AND c.stoptime >= c.starttime
+ORDER BY metadata_id
+"""
+    sqls["dedup_simhash_pairs"] = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest({_TOK_SQL}) AS term FROM
+      (SELECT doc_id, text FROM documents WHERE doc_id < 100 UNION ALL
+       SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20)
+  ) GROUP BY doc_id, term
+),
+votes AS (SELECT doc_id, {bit_votes} FROM tf GROUP BY doc_id),
+fp AS (SELECT doc_id, {bit_concat} AS simhash FROM votes)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash::BIT, b.simhash::BIT)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash::BIT, b.simhash::BIT)) <= 3
+ORDER BY doc_a, doc_b
 """
     _SHINGLE200 = _SHINGLE_CTE.replace(_DUP_SQL, "(SELECT doc_id, text FROM documents WHERE doc_id < 200)")
     sqls["dedup_minhash_signatures"] = f"""

@@ -30,8 +30,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DRIVER_CPUS = "0-3"          # driver + master, every level
-WORKER_CPUS = {4: "4-7", 16: "4-19"}  # executor resources under test
-EXECUTOR_CORES = 4           # fixed executor size; levels vary executor COUNT
+WORKER_CPUS = {2: "4-5", 4: "4-7", 8: "4-11", 16: "4-19"}  # executor CPUs under test
+# fixed executor size per pair; levels vary executor COUNT (1 -> 4). The
+# headline pair is 2 -> 8 CPUs (1 -> 4 executors x 2 cores): above ~8-12
+# concurrently active string-heavy cores this box saturates DRAM bandwidth
+# (pure-float spin scales 4.0x from 4->16 pinned procs, the tokenize kernel
+# only ~2.5x), so wider pairs measure the sandbox's memory system, not the
+# engine. 4 -> 16 remains runnable via SPARK_GRAFT_SCALE_CORES=4,16.
+EXECUTOR_CORES = {2: 2, 8: 2, 4: 4, 16: 4}
 
 
 def log(msg: str) -> None:
@@ -121,15 +127,20 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
                      work_dir=cluster_dir, port=7200 + cores,
                      local_dirs=f"/dev/shm/wise_bench_local_{cores}") as mc:
         spark = mc.session(
-            executor_cores=EXECUTOR_CORES,
+            executor_cores=EXECUTOR_CORES[cores],
             executor_mem_gb=10,
             shuffle_partitions=2 * cores,
             app_name=f"wise_scale_{cores}",
         )
         docs = spark.read.parquet(corpus_path)
         docs.count()  # warm executors + file listing (untimed)
-        build_index(docs.filter(F.col("doc_id") < 20000), warm_dir,
-                    url_col="url", n_shards=32, n_buckets=32, n_waves=2)
+        # 10% warmup: big enough to push the tokenize/pack/merge/shuffle code
+        # paths past C2 JIT-compile thresholds in every executor (a 20k-doc
+        # warmup left wave-0 of the timed build paying compilation: measured
+        # wave-0 ~2x wave-1 wall)
+        build_index(docs.filter(F.col("doc_id") < max(20000, n_docs // 10)),
+                    warm_dir, url_col="url", n_shards=32, n_buckets=32,
+                    n_waves=2)
         shutil.rmtree(warm_dir, ignore_errors=True)
         t0 = time.time()
         build_index(docs, idx_dir, url_col="url", n_shards=32, n_buckets=32,
@@ -204,8 +215,8 @@ def run_scaling(n_docs: int, cores_list: list[int]):
 
 def write_bench_md(n_docs: int, scaling: dict, effs: dict, effs_best: dict) -> None:
     rows = "\n".join(
-        f"| {c} exec cores ({c // EXECUTOR_CORES} executor"
-        f"{'s' if c > EXECUTOR_CORES else ''} x {EXECUTOR_CORES}) "
+        f"| {c} exec cores ({c // EXECUTOR_CORES[c]} executor"
+        f"{'s' if c > EXECUTOR_CORES[c] else ''} x {EXECUTOR_CORES[c]}) "
         f"| {r['build_s']} | {r['docs_per_sec']} "
         f"| {r['all_docs_per_sec']} | {r['query_p50_s']} | {r['query_p99_s']} |"
         for c, r in sorted(scaling.items())
@@ -239,8 +250,8 @@ stats) over the identical deterministic synthetic corpus parquet
 * master + driver pinned to CPUs {DRIVER_CPUS} at every level (a real
   cluster's driver node does not grow when executors are added);
 * the worker — and the executor JVMs and python UDF workers it spawns,
-  which inherit its affinity — pinned to N=4 CPUs (1 executor x
-  {EXECUTOR_CORES} cores) vs 4N=16 CPUs (4 executors x {EXECUTOR_CORES});
+  which inherit its affinity — pinned to N vs 4N CPUs (1 executor vs 4
+  executors of equal size);
 * each level in its own subprocess (fresh JVMs), 3 runs, median reported
   (the sandbox has noisy neighbors; all runs shown);
 * only executor count changes: fixed n_shards=32, n_buckets=32, n_waves=2;
@@ -278,11 +289,11 @@ driver resources constant and varies ONLY executor resources, which is what
 
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--scale-worker":
-        scale_worker(int(sys.argv[2]), int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000")))
+        scale_worker(int(sys.argv[2]), int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000")))
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
 
     log(f"== headline queries @ {sf_dir} on local[{cpus}] ==")
@@ -290,7 +301,7 @@ def main() -> None:
     headline = run_headline(sf_dir, cpus)
 
     log(f"== scaling: index build over {n_docs} synthetic docs ==")
-    cores_list = [int(c) for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "4,16").split(",")]
+    cores_list = [int(c) for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(",")]
     scaling = run_scaling(n_docs, cores_list)
     effs, effs_best = {}, {}
     for lo, hi in zip(cores_list, cores_list[1:]):

@@ -119,13 +119,29 @@ class MiniCluster:
         conf = {
             "spark.executor.cores": str(executor_cores),
             "spark.executor.memory": f"{executor_mem_gb}g",
+            # glibc: keep large (numpy/Arrow) allocations in the sbrk arena
+            # instead of mmap/munmap pairs — every munmap fires TLB-shootdown
+            # IPIs to every CPU in the affinity mask, so the per-allocation
+            # kernel cost GROWS with executor width (measured: 43% system
+            # time at 16 CPUs, build slower than at 4). Python UDF workers
+            # inherit the executor's environment.
+            "spark.executorEnv.MALLOC_MMAP_THRESHOLD_": "536870912",
+            "spark.executorEnv.MALLOC_TRIM_THRESHOLD_": "536870912",
+            "spark.executorEnv.MALLOC_MMAP_MAX_": "0",
             # each executor JVM must size its GC/JIT thread pools to ITS core
             # share, not the worker's whole affinity set — otherwise 4
             # co-located executors each spawn worker-width GC threads and
             # thrash each other (measured: 3x slowdown at the 4-executor
             # level without this)
+            # -Xms=-Xmx: reserve the whole heap at executor launch so the GC
+            # never RESIZES regions mid-job (heap growth = mmap/mprotect +
+            # TLB shootdowns, pathologically slow on this kernel; measured:
+            # first wave 4x slower than the identical second wave purely from
+            # heap expansion). AlwaysPreTouch was tried and rejected: paging
+            # in N x heap GB serially at launch takes minutes here.
             "spark.executor.extraJavaOptions":
-                f"-XX:ActiveProcessorCount={executor_cores}",
+                f"-XX:ActiveProcessorCount={executor_cores} "
+                f"-Xms{executor_mem_gb}g",
             "spark.pyspark.python": sys.executable,
             "spark.driver.memory": "8g",
         }

@@ -4,13 +4,14 @@ Lifecycle (SURVEY.md section 3.4), each stage an atomic parquet commit whose
 _SUCCESS marker is the checkpoint (the reference commits every 8192 payloads
 for the same reason, /root/reference/extract-features.py:320,400-405):
 
-  Stage A  tokens    docs -> flat mapInPandas tokenize -> (doc_id, term, tf,
-                     doclen, shard) parquet partitioned by WAVE, written
-                     straight from the map tasks — ZERO shuffles. The UDF
-                     emits flat Arrow columns (no array<struct> the JVM would
-                     have to explode: measured, nested UDF output + same-stage
-                     write anti-scales 4x on this box).
-  Stage B  doc_map   (doc_id, url?, doclen) parquet + exact N/avgdl
+  Stage A  tokens    docs -> mapInPandas tokenize -> ONE packed row per doc
+                     (terms \x00-joined + int32 tf/position buffers) parquet
+                     partitioned by WAVE, written straight from the map tasks
+                     — ZERO shuffles, ~40x fewer JVM rows than a flat
+                     (doc_id, term) layout (measured: per-row JVM
+                     materialization dominated the flat variant's wall).
+  Stage B  doc_map   column projection -> (doc_id, url?, doclen) parquet +
+                     exact N/avgdl
   Stage C  segments  per wave: pack-on-read partials (map-side, split-local)
                      -> ONE shuffle of packed binary runs keyed (shard,
                      bucket) -> k-way merge + varbyte/block-max encode ->
@@ -47,13 +48,18 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .codec import encode_postings
 
-TOKENS_SCHEMA = "doc_id long, term string, tf long, doclen long, shard int"
-# wave = shard % n_waves (Stage C prunes whole wave dirs); url rides along on
-# one SENTINEL row per doc (term NULL, tf 0) so Stage B derives doc_map with
-# a map-only filter — no groupBy, no join-back to the source table.
-# positions: raw little-endian int32 token offsets (NULL unless the build
-# runs with_positions=True); segments re-encode them varbyte+delta.
-TOKENS_WAVE_SCHEMA = TOKENS_SCHEMA + ", wave int, url string, positions binary"
+# ONE packed row per document (shard = doc_id % n_shards, so every term of a
+# doc shares one shard and one wave = shard % n_waves — Stage C prunes whole
+# wave dirs). terms is the doc's DISTINCT terms \x00-joined (first-occurrence
+# order); tfs is the aligned raw little-endian int32 counts; positions is the
+# aligned concatenation of each term's ascending int32 token offsets (empty
+# unless with_positions). Packing per doc instead of flat (doc_id, term) rows
+# cuts the rows crossing the Arrow/JVM boundary ~40x — the flat layout spent
+# most of stage A+C wall in per-row JVM materialization, not in tokenizing.
+TOKENS_WAVE_SCHEMA = (
+    "doc_id long, doclen long, url string, terms string, tfs binary, "
+    "positions binary, shard int, wave int"
+)
 PARTIAL_SCHEMA = (
     "term string, shard int, bucket int, docids binary, tfs binary, "
     "doclens binary, positions binary"
@@ -194,131 +200,150 @@ def _wave_metrics(segments_path: str, shard_list: list[int]) -> tuple[int, int]:
     return postings, nbytes
 
 
-def _flat_tokens_fn(
+def _doc_tokens_fn(
     id_col: str, text_col: str, url_col: str | None, n_shards: int, n_waves: int,
     with_positions: bool = False,
 ):
-    """Stage A kernel: mapInPandas batches of (id, text[, url]) -> FLAT rows
-    (doc_id, term, tf, doclen, shard, wave, url).
+    """Stage A kernel: mapInPandas batches of (id, text[, url]) -> ONE packed
+    row per doc (doc_id, doclen, url, terms, tfs, positions, shard, wave).
 
-    Map-side tf: a document's term frequencies are purely local, counted here
-    with one vectorized pandas groupby per Arrow batch — the build never
-    shuffles a raw token. Output is flat primitive/string columns: emitting
-    array<struct<term,tf>> and exploding JVM-side measurably anti-scales
-    (nested Arrow vectors + same-stage explode+write quadruple wall time at
-    8 cores on this box), so flat-by-construction is both the simpler and
-    the faster shape.
+    Map-side tf: a document's term frequencies are purely local, counted per
+    doc with collections.Counter (C-speed) — the build never shuffles a raw
+    token. The doc's distinct terms are \x00-joined into ONE string and the
+    counts packed into ONE int32 buffer, so a 40-distinct-term doc costs one
+    JVM row instead of 40 (measured: the flat layout spent most of stage A
+    wall in per-row JVM materialization after the UDF, not in tokenizing).
 
-    One sentinel row per doc (term NULL, tf 0, url set) makes doc_map a pure
-    filter of this checkpoint — zero-token docs included.
+    Every doc emits a row even when empty — Stage B's doc_map is a pure
+    column projection of this checkpoint.
     """
-    from itertools import chain
+    from collections import Counter
 
     from ..analyzer.tokenizer import tokenize_text
 
-    cols = ["doc_id", "term", "tf", "doclen", "shard", "wave", "url", "positions"]
+    cols = ["doc_id", "doclen", "url", "terms", "tfs", "positions", "shard", "wave"]
 
     def gen(batches):
         for pdf in batches:
-            if not len(pdf):
+            n = len(pdf)
+            if not n:
                 continue
-            toks_per_doc = [tokenize_text(t) for t in pdf[text_col]]
-            lens = np.fromiter(
-                (len(t) for t in toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
-            )
             doc_ids = pdf[id_col].to_numpy(np.int64)
-            flat = pd.DataFrame(
-                {
-                    "doc_id": np.repeat(doc_ids, lens),
-                    "term": list(chain.from_iterable(toks_per_doc)),
-                    "doclen": np.repeat(lens, lens),
-                }
-            )
-            if with_positions:
-                # per-doc token offset, then numpy group slicing (stable sort
-                # keeps offsets ascending within each (doc, term) group)
-                total = int(lens.sum())
-                pos = np.arange(total, dtype=np.int64) - np.repeat(
-                    np.cumsum(lens) - lens, lens
-                )
-                flat["pos"] = pos
-                flat = flat.sort_values(["doc_id", "term"], kind="mergesort",
-                                        ignore_index=True)
-                d = flat["doc_id"].to_numpy(np.int64)
-                t = flat["term"].to_numpy()
-                p32 = flat["pos"].to_numpy(np.int64).astype(np.int32)
-                starts, ends = _group_bounds(d, t)
-                pbytes = p32.tobytes()
-                out = pd.DataFrame(
-                    {
-                        "doc_id": d[starts],
-                        "term": t[starts],
-                        "tf": (ends - starts).astype(np.int64),
-                        "doclen": flat["doclen"].to_numpy(np.int64)[starts],
-                        "positions": [
-                            pbytes[4 * s:4 * e] for s, e in zip(starts, ends)
-                        ],
-                    }
-                )
-            else:
-                out = flat.groupby(["doc_id", "term"], sort=False, as_index=False).agg(
-                    tf=("term", "size"), doclen=("doclen", "first")
-                )
-                out["tf"] = out["tf"].astype(np.int64)
-                out["positions"] = None
-            out["url"] = None
-            sent = pd.DataFrame(
+            lens = np.empty(n, dtype=np.int64)
+            terms_l: list = [None] * n
+            tfs_l: list = [None] * n
+            pos_l: list = [b""] * n
+            for i, text in enumerate(pdf[text_col]):
+                toks = tokenize_text(text)
+                lens[i] = len(toks)
+                if not toks:
+                    terms_l[i] = ""
+                    tfs_l[i] = b""
+                    continue
+                if with_positions:
+                    # factorize: uniques in first-occurrence order; stable
+                    # argsort of the codes = token offsets grouped by term,
+                    # ascending within each term
+                    codes, uniq = pd.factorize(
+                        np.asarray(toks, dtype=object), sort=False
+                    )
+                    pos_l[i] = np.argsort(codes, kind="stable").astype(
+                        np.int32
+                    ).tobytes()
+                    terms_l[i] = "\x00".join(uniq)
+                    tfs_l[i] = np.bincount(codes).astype(np.int32).tobytes()
+                else:
+                    c = Counter(toks)
+                    terms_l[i] = "\x00".join(c.keys())
+                    tfs_l[i] = np.fromiter(
+                        c.values(), dtype=np.int32, count=len(c)
+                    ).tobytes()
+            shard = (doc_ids % n_shards).astype(np.int32)
+            yield pd.DataFrame(
                 {
                     "doc_id": doc_ids,
-                    "term": None,
-                    "tf": np.int64(0),
                     "doclen": lens,
                     "url": pdf[url_col].to_numpy() if url_col else None,
-                    "positions": None,
+                    "terms": terms_l,
+                    "tfs": tfs_l,
+                    "positions": pos_l,
+                    "shard": shard,
+                    "wave": (shard % n_waves).astype(np.int32),
                 }
-            )
-            out = pd.concat([out, sent], ignore_index=True)
-            out["shard"] = (out["doc_id"] % n_shards).astype(np.int32)
-            out["wave"] = (out["shard"] % n_waves).astype(np.int32)
-            yield out[cols]
+            )[cols]
 
     return gen
 
 
-def _pack_partition_fn(with_positions: bool = False):
-    """Phase 1 (split-local partials): one pass per INPUT SPLIT — sort by
-    (shard, term, doc_id), split runs with numpy boundary detection, pack raw
+def _pack_partition_fn(n_buckets: int, with_positions: bool = False):
+    """Phase 1 (split-local partials): one pass per INPUT SPLIT — expand each
+    packed doc row, factorize terms to int codes, group by (term, shard) with
+    doc_id ascending via int lexsort (pack needs group IDENTITY, not
+    lexicographic term order — sorting strings here is pure waste), pack raw
     little-endian buffers. Runs map-side directly on the pruned wave scan (no
     shuffle): each split yields at most one partial run per (shard, term), so
     a head term fans out into n_splits bounded partials instead of one
-    unbounded reducer row."""
+    unbounded reducer row. bucket — the exchange distribution key — is a
+    deterministic SipHash of the term (pandas hash_array, fixed key), computed
+    once per DISTINCT term in the split."""
+    from itertools import chain
 
     def pack(batches):
         pdf = _concat_batches(batches)
         if pdf is None:
             return
-        pdf = pdf.sort_values(["shard", "term", "doc_id"], kind="mergesort", ignore_index=True)
-        shard = pdf["shard"].to_numpy(np.int32)
-        bucket = pdf["bucket"].to_numpy(np.int32)
-        terms = pdf["term"].to_numpy()
-        ids = np.ascontiguousarray(pdf["doc_id"].to_numpy(np.int64))
-        tfs = np.ascontiguousarray(pdf["tf"].to_numpy(np.int32))
-        dls = np.ascontiguousarray(pdf["doclen"].to_numpy(np.int32))
-        starts, ends = _group_bounds(shard, terms)
+        tfs_bufs = pdf["tfs"].to_numpy()
+        n_per_doc = np.fromiter(
+            (len(b) >> 2 for b in tfs_bufs), dtype=np.int64, count=len(tfs_bufs)
+        )
+        terms_lists = [s.split("\x00") if s else [] for s in pdf["terms"]]
+        all_terms = np.asarray(
+            list(chain.from_iterable(terms_lists)), dtype=object
+        )
+        if all_terms.size == 0:
+            return
+        tf_flat = np.frombuffer(b"".join(tfs_bufs), dtype=np.int32)
+        ids_flat = np.repeat(pdf["doc_id"].to_numpy(np.int64), n_per_doc)
+        dls_flat = np.repeat(
+            pdf["doclen"].to_numpy(np.int64), n_per_doc
+        ).astype(np.int32)
+        shard_flat = np.repeat(pdf["shard"].to_numpy(np.int32), n_per_doc)
+        codes, uniques = pd.factorize(all_terms, sort=False)
+        bucket_of = (pd.util.hash_array(uniques) % n_buckets).astype(np.int32)
+        gkey = codes.astype(np.int64) * np.int64(int(shard_flat.max()) + 1) + shard_flat
+        order = np.lexsort((ids_flat, gkey))
+        gkey = gkey[order]
+        codes_s = codes[order]
+        shard = shard_flat[order]
+        ids = np.ascontiguousarray(ids_flat[order])
+        tfs = np.ascontiguousarray(tf_flat[order])
+        dls = np.ascontiguousarray(dls_flat[order])
+        starts, ends = _group_bounds(gkey)
         if with_positions:
-            pos = pdf["positions"].to_numpy()
+            pos_all = np.frombuffer(b"".join(pdf["positions"]), dtype=np.int32)
+            tf64 = tf_flat.astype(np.int64)
+            src_off = np.cumsum(tf64) - tf64
+            ord_tf = tf64[order]
+            cum_tf = np.cumsum(ord_tf)
+            dst_base = cum_tf - ord_tf
+            within = (
+                np.arange(int(tf64.sum()), dtype=np.int64)
+                - np.repeat(dst_base, ord_tf)
+            )
+            pb = pos_all[np.repeat(src_off[order], ord_tf) + within].tobytes()
+            bnd = np.r_[0, cum_tf] * 4  # byte offset before each sorted row
             rows = [
                 (
-                    terms[s], int(shard[s]), int(bucket[s]),
+                    uniques[codes_s[s]], int(shard[s]), int(bucket_of[codes_s[s]]),
                     ids[s:e].tobytes(), tfs[s:e].tobytes(), dls[s:e].tobytes(),
-                    b"".join(pos[s:e]),  # doc-ascending, aligned with tfs
+                    pb[bnd[s]:bnd[e]],  # doc-ascending, aligned with tfs
                 )
                 for s, e in zip(starts, ends)
             ]
         else:
             rows = [
                 (
-                    terms[s], int(shard[s]), int(bucket[s]),
+                    uniques[codes_s[s]], int(shard[s]), int(bucket_of[codes_s[s]]),
                     ids[s:e].tobytes(), tfs[s:e].tobytes(), dls[s:e].tobytes(),
                     None,
                 )
@@ -346,14 +371,20 @@ def _merge_partition_fn(avgdl: float, with_positions: bool = False):
         pdf = _concat_batches(batches)
         if pdf is None:
             return
-        pdf = pdf.sort_values(["shard", "term"], kind="mergesort", ignore_index=True)
-        shard = pdf["shard"].to_numpy(np.int32)
-        terms = pdf["term"].to_numpy()
-        d_ids = pdf["docids"].to_numpy()
-        d_tfs = pdf["tfs"].to_numpy()
-        d_dls = pdf["doclens"].to_numpy()
-        d_pos = pdf["positions"].to_numpy() if with_positions else None
-        g_starts, g_ends = _group_bounds(shard, terms)
+        # group partials by (shard, term) via factorized INT keys — identity
+        # grouping only; string sort order is irrelevant here
+        codes, _ = pd.factorize(pdf["term"].to_numpy(), sort=False)
+        shard0 = pdf["shard"].to_numpy(np.int32)
+        gkey = codes.astype(np.int64) * np.int64(shard0.max() + 1) + shard0
+        order = np.argsort(gkey, kind="stable")
+        gkey = gkey[order]
+        shard = shard0[order]
+        terms = pdf["term"].to_numpy()[order]
+        d_ids = pdf["docids"].to_numpy()[order]
+        d_tfs = pdf["tfs"].to_numpy()[order]
+        d_dls = pdf["doclens"].to_numpy()[order]
+        d_pos = pdf["positions"].to_numpy()[order] if with_positions else None
+        g_starts, g_ends = _group_bounds(gkey)
         # merge the partials per (shard, term) into one big sorted
         # concatenation, then encode EVERY list in one vectorized pass
         ids_parts, tfs_parts, dls_parts, pos_parts, lens = [], [], [], [], []
@@ -458,7 +489,7 @@ def build_index(
         if url_col:
             sel.append(F.col(url_col).alias("url"))
         tf = docs.select(*sel).mapInPandas(
-            _flat_tokens_fn("doc_id", "text", "url" if url_col else None,
+            _doc_tokens_fn("doc_id", "text", "url" if url_col else None,
                             n_shards, n_waves, with_positions=with_positions),
             schema=TOKENS_WAVE_SCHEMA,
         )
@@ -468,17 +499,13 @@ def build_index(
             [("tokens", "-", "done", 0, 0, int((time.time() - t0) * 1000))],
         )
 
-    # ---- Stage B: doc_map = the sentinel rows of the tokens checkpoint ------
-    # Map-only: pushed-down term-IS-NULL filter + column pruning; no shuffle,
-    # no second pass over the text (zero-token docs carry a sentinel too).
+    # ---- Stage B: doc_map = a column projection of the tokens checkpoint ----
+    # Map-only: parquet column pruning skips the heavy terms/tfs columns; no
+    # shuffle, no second pass over the text (every doc has exactly one row).
     if not (resume and _done(doc_map_path)):
         t0 = time.time()
         cols = ["doc_id", "doclen"] + (["url"] if url_col else [])
-        dm = (
-            spark.read.parquet(tokens_path)
-            .filter(F.col("term").isNull())
-            .select(*cols)
-        )
+        dm = spark.read.parquet(tokens_path).select(*cols)
         dm.write.mode("overwrite").parquet(doc_map_path)
         _append_lineage(
             spark, index_dir,
@@ -530,11 +557,9 @@ def build_index(
         for s in shard_list:
             _shutil.rmtree(os.path.join(segments_path, f"shard={s}"), ignore_errors=True)
         t0 = time.time()
-        # wave-dir partition pruning + pushed-down sentinel filter
-        tf = tf_all.filter((F.col("wave") == w) & F.col("term").isNotNull())
-        tf = tf.withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
-        )
+        # wave-dir partition pruning; bucket is computed inside the pack
+        # kernel (one hash per distinct term per split)
+        tf = tf_all.filter(F.col("wave") == w).drop("url")
         # two-phase build with ONE exchange: phase 1 packs split-local partial
         # runs map-side directly on the pruned scan (no repartition — no
         # reducer ever receives raw per-posting rows); phase 2 k-way merges
@@ -544,7 +569,8 @@ def build_index(
         # repartition; each reduce task writes its shards' files directly).
         p2 = max(2 * par, 8)
         partial = tf.mapInPandas(
-            _pack_partition_fn(with_positions=with_positions), schema=PARTIAL_SCHEMA
+            _pack_partition_fn(n_buckets, with_positions=with_positions),
+            schema=PARTIAL_SCHEMA,
         )
         segs = partial.repartition(p2, "shard", "bucket").mapInPandas(
             _merge_partition_fn(avgdl, with_positions=with_positions),

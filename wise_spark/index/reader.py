@@ -35,6 +35,33 @@ def _concat(batches) -> pd.DataFrame | None:
     return pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
 
 
+# Serving-mode size guards: above these, cache=True silently degrades to the
+# pruned-scan path for that piece (a 10^9-term vocabulary dict or a
+# multi-TB segment set must never be pinned wholesale; queries stay exact
+# either way, the cache is purely a latency optimization).
+DF_CACHE_MAX_TERMS = 5_000_000          # ~100s of MB of driver heap
+SEGMENT_CACHE_MAX_BYTES = 8 << 30       # executor storage-memory budget
+
+
+def _parquet_footer_stats(path: str) -> tuple[int, int]:
+    """(total rows, total compressed bytes) from parquet footers only."""
+    import pyarrow.parquet as pq
+
+    rows = 0
+    nbytes = 0
+    for dp, _, fns in os.walk(path):
+        for fn in fns:
+            if not fn.endswith(".parquet") or fn.startswith("."):
+                continue
+            md = pq.ParquetFile(os.path.join(dp, fn)).metadata
+            rows += md.num_rows
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    nbytes += g.column(ci).total_compressed_size
+    return rows, nbytes
+
+
 class FtsIndex:
     def __init__(
         self, spark: SparkSession, index_dir: str, meta: IndexMeta, cache: bool = False
@@ -45,17 +72,35 @@ class FtsIndex:
         self._segments = spark.read.parquet(os.path.join(index_dir, "segments"))
         self._terms = spark.read.parquet(os.path.join(index_dir, "terms"))
         self._df_cache: dict[str, int] | None = None
+        self._cached_by_shard = False
         if cache:
             # serving mode: pin segments in executor memory (the reference
             # copies its hot index to :memory: the same way,
             # /root/reference/src/index/sqlite_search_index.py:94-98) and the
             # term->df stats in DRIVER memory (read via pyarrow, no Spark
-            # job) so each query costs exactly one Spark job
-            # sort within partitions by term before caching: the in-memory
-            # columnar batches keep min/max stats per batch, so the term
-            # filter prunes cached batches instead of scanning them all
-            self._segments = self._segments.sortWithinPartitions("term").cache()
-            self._df_cache = self._load_df_stats(index_dir)
+            # job) so each query costs exactly one Spark job. Both pins are
+            # SIZE-GUARDED from parquet footers (no data read): an index too
+            # big to pin falls back to the pruned-scan path, exact either way.
+            seg_rows, seg_bytes = _parquet_footer_stats(
+                os.path.join(index_dir, "segments")
+            )
+            if seg_bytes <= SEGMENT_CACHE_MAX_BYTES:
+                # cache ALREADY hash-partitioned by shard so every query is a
+                # single-stage job (no per-query exchange; scoring needs each
+                # shard whole in one partition), and sorted by term within
+                # partitions: the in-memory columnar batches keep min/max
+                # stats per batch, so the term filter prunes cached batches
+                # instead of scanning them all
+                p = max(2, min(meta.n_shards, spark.sparkContext.defaultParallelism))
+                self._segments = (
+                    self._segments.repartition(p, "shard")
+                    .sortWithinPartitions("term")
+                    .cache()
+                )
+                self._cached_by_shard = True
+            n_terms, _ = _parquet_footer_stats(os.path.join(index_dir, "terms"))
+            if n_terms <= DF_CACHE_MAX_TERMS:
+                self._df_cache = self._load_df_stats(index_dir)
         # per-query scoring parallelism: enough tasks to spread shards, few
         # enough that task/python-worker overhead stays off the latency path
         self._query_partitions = max(2, min(meta.n_shards, spark.sparkContext.defaultParallelism))
@@ -112,10 +157,13 @@ class FtsIndex:
     def _shard_partitioned(self, terms: list[str], with_positions: bool = False) -> DataFrame:
         """Matched posting rows, hash-distributed by shard over a small
         explicit partition count (a whole shard never splits — each shard's
-        scores are computed completely and locally)."""
-        return self._matched_segments(terms, with_positions).repartition(
-            self._query_partitions, "shard"
-        )
+        scores are computed completely and locally). In serving mode the
+        cache is already shard-partitioned, so the filter is narrow and the
+        query runs as one single-stage job — no per-query exchange."""
+        matched = self._matched_segments(terms, with_positions)
+        if self._cached_by_shard:
+            return matched
+        return matched.repartition(self._query_partitions, "shard")
 
     def score_all(self, query: str, mode: str = "all") -> DataFrame:
         """Exhaustive index-accelerated scoring: all matching (doc_id, score).

@@ -13,17 +13,16 @@ Exactness contract (everything rank-identical to the naive scorer/oracles):
     deterministic sequence and float addition over the same operand order is
     deterministic);
   * ties break ascending doc_id;
-  * WAND prunes a candidate iff upper_bound <= threshold WITH A FULL HEAP —
-    safe under ties because docs are visited in ascending doc_id order, so
-    any heap entry with an equal score has a smaller doc_id and wins the
-    tie-break anyway;
+  * pruning drops only doc-id intervals whose summed block upper bounds fall
+    BELOW a true lower bound of the k-th best score, then keeps ALL score
+    ties at the k-th boundary — so the surviving set is a superset of the
+    exact top-k and the final sort resolves ties exactly;
   * block maxima are exact float maxima of the true tf-component (no
     quantization), so upper bounds are true upper bounds.
 """
 
 from __future__ import annotations
 
-import heapq
 
 import numpy as np
 import pandas as pd
@@ -117,83 +116,66 @@ def score_shard_wand(
     return out.head(k).reset_index(drop=True)
 
 
-def _bmw_any(lists: list[dict], k: int) -> pd.DataFrame:
-    """Classic WAND pivoting with block-max refinement, exact top-k."""
-    q = len(lists)
-    ptr = [0] * q
-    sizes = [x["ids"].size for x in lists]
-    # heap of (score, -doc_id) so the root is the worst kept candidate
-    heap: list[tuple[float, int]] = []
-    threshold = -np.inf
-
-    def push(doc: int, score: float) -> None:
-        nonlocal threshold
-        item = (score, -doc)
-        if len(heap) < k:
-            heapq.heappush(heap, item)
-            if len(heap) == k:
-                threshold = heap[0][0]
-        elif item > heap[0]:
-            heapq.heapreplace(heap, item)
-            threshold = heap[0][0]
-
-    order = list(range(q))
+def _theta0(all_ids: np.ndarray, all_contrib: np.ndarray, k: int) -> float:
+    """Lower bound on the k-th best TOTAL score: the k-th largest per-doc
+    single-term contribution (a doc's total score >= any one contribution).
+    Found from the top-T postings by contribution — argpartition, no sort of
+    the full arrays; T grows (rarely) until k distinct docs are covered."""
+    n = all_ids.size
+    t = min(n, max(4 * k, 256))
     while True:
-        live = [i for i in order if ptr[i] < sizes[i]]
-        if not live:
-            break
-        live.sort(key=lambda i: lists[i]["ids"][ptr[i]])
-        # pivot: first prefix whose UB sum can beat the threshold
-        ub = 0.0
-        pivot_idx = -1
-        for j, i in enumerate(live):
-            ub += lists[i]["ub"]
-            if len(heap) < k or ub > threshold:
-                pivot_idx = j
-                break
-        if pivot_idx < 0:
-            break  # even the full UB sum cannot beat the threshold
-        pivot_doc = int(lists[live[pivot_idx]]["ids"][ptr[live[pivot_idx]]])
-        # block-max refinement at the pivot
-        bub = 0.0
-        for i in live:
-            x = lists[i]
-            p = ptr[i]
-            if x["ids"][p] > pivot_doc:
-                break
-            # block containing pivot_doc; lists exhausted before pivot add 0
-            blk = int(np.searchsorted(x["blk_last"], pivot_doc, side="left"))
-            if blk < x["blk_max"].size:
-                bub += float(x["blk_max"][blk])
-        if len(heap) == k and bub <= threshold:
-            # skip: advance the lagging lists past this pivot's block boundary
-            nxt = pivot_doc + 1
-            for i in live:
-                x = lists[i]
-                if x["ids"][ptr[i]] <= pivot_doc:
-                    ptr[i] = int(np.searchsorted(x["ids"], nxt, side="left"))
-            continue
-        # check whether all lists before pivot are aligned on pivot_doc
-        aligned = all(
-            lists[i]["ids"][ptr[i]] == pivot_doc for i in live[: pivot_idx + 1]
-        )
-        if aligned:
-            score = 0.0
-            for i in sorted(live, key=lambda i: lists[i]["term"]):  # sorted-term fold
-                x = lists[i]
-                p = ptr[i]
-                if p < sizes[i] and x["ids"][p] == pivot_doc:
-                    score += float(x["contrib"][p])
-            for i in live:
-                if ptr[i] < sizes[i] and lists[i]["ids"][ptr[i]] == pivot_doc:
-                    ptr[i] += 1
-            push(pivot_doc, score)
-        else:
-            # advance the earliest list up to the pivot
-            i = live[0]
-            ptr[i] = int(np.searchsorted(lists[i]["ids"], pivot_doc, side="left"))
-    if not heap:
+        top = np.argpartition(all_contrib, n - t)[n - t:]
+        uniq, inv = np.unique(all_ids[top], return_inverse=True)
+        if uniq.size >= k or t == n:
+            per_doc = np.full(uniq.size, -np.inf)
+            np.maximum.at(per_doc, inv, all_contrib[top])
+            if uniq.size < k:
+                return -np.inf  # fewer than k matching docs: no pruning
+            return float(np.partition(per_doc, uniq.size - k)[uniq.size - k])
+        t = min(n, t * 4)
+
+
+def _bmw_any(lists: list[dict], k: int) -> pd.DataFrame:
+    """Block-max pruned TAAT, exact top-k, fully vectorized (no per-posting
+    Python loop — the classic WAND pointer walk is O(postings) interpreted
+    Python on head terms, the very anti-pattern the hot path bans).
+
+    1. theta0: a true lower bound on the k-th best score (see _theta0).
+    2. The doc-id axis is cut at every block boundary of every list; each
+       interval's upper bound = sum over lists of the covering block's
+       blk_max * idf (searchsorted per list — vectorized).
+    3. Intervals with UB < theta0 cannot contain a top-k doc (every doc's
+       score <= its interval UB; every top-k doc's score >= theta0) and are
+       dropped with their postings; the survivors get one exact TAAT pass.
+    Pruning power equals WAND's static block-max phase; exactness never
+    depends on it (TAAT over a superset of the true top-k)."""
+    all_ids = np.concatenate([x["ids"] for x in lists])
+    all_contrib = np.concatenate([x["contrib"] for x in lists])
+    theta0 = _theta0(all_ids, all_contrib, k)
+    # interval ends = union of block boundaries (ascending doc ids)
+    bounds = np.unique(np.concatenate([x["blk_last"] for x in lists]))
+    iv_ub = np.zeros(bounds.size, dtype=np.float64)
+    for x in lists:
+        idx = np.searchsorted(x["blk_last"], bounds, side="left")
+        ok = idx < x["blk_max"].size
+        iv_ub[ok] += x["blk_max"][idx[ok]]
+    live = iv_ub >= theta0
+    # gather surviving postings (a doc's postings all map to one interval)
+    iv = np.searchsorted(bounds, all_ids, side="left")
+    keep = live[iv]
+    ids = all_ids[keep]
+    if ids.size == 0:
         return pd.DataFrame({"doc_id": [], "score": []})
-    docs = np.array([-d for _, d in heap], dtype=np.int64)
-    scores = np.array([s for s, _ in heap], dtype=np.float64)
-    return pd.DataFrame({"doc_id": docs, "score": scores})
+    uniq, inv = np.unique(ids, return_inverse=True)
+    scores = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(scores, inv, all_contrib[keep])
+    # local top-k among survivors: threshold at the k-th largest score, keep
+    # ALL ties at the boundary, then resolve (score desc, doc_id asc)
+    if uniq.size > k:
+        kth = np.partition(scores, uniq.size - k)[uniq.size - k]
+        cand = scores >= kth
+        uniq, scores = uniq[cand], scores[cand]
+    order = np.lexsort((uniq, -scores))[:k]
+    return pd.DataFrame(
+        {"doc_id": uniq[order].astype(np.int64), "score": scores[order]}
+    )

@@ -6,6 +6,7 @@ from .dedup import (
     minhash_signatures,
     minhash_lsh_pairs,
     simhash_fingerprints,
+    simhash_pairs,
 )
 from .similarity import cosine_topk, lsh_cosine_topk
 from .relational import (
@@ -27,6 +28,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
+    "simhash_pairs",
     "cosine_topk",
     "lsh_cosine_topk",
     "sessionize",

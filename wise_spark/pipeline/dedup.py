@@ -167,3 +167,64 @@ def simhash_fingerprints(
     )
     bits = F.concat(*[F.when(F.col(f"s{i}") > 0, "1").otherwise("0") for i in range(64)])
     return votes.select("doc_id", bits.alias("simhash"))
+
+
+def _hamming64(a, b):
+    """Hamming distance between two 64-char '0'/'1' strings, JVM-side:
+    4 x (16-bit chunk -> long -> xor -> bit_count). No UDF."""
+    parts = None
+    for i in range(4):
+        ca = F.conv(F.substring(a, i * 16 + 1, 16), 2, 10).cast("long")
+        cb = F.conv(F.substring(b, i * 16 + 1, 16), 2, 10).cast("long")
+        p = F.bit_count(ca.bitwiseXOR(cb))
+        parts = p if parts is None else parts + p
+    return parts
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT near-dup pairs (doc_a < doc_b, hamming) with SimHash hamming
+    distance <= max_hamming, found WITHOUT an all-pairs product.
+
+    Bit-chunk bucketing (pigeonhole): split the 64-bit fingerprint into
+    max_hamming+1 chunks — any pair within hamming r must agree exactly on at
+    least one chunk, so candidates = pairs sharing any (chunk_id, chunk_value)
+    bucket, then an exact hamming filter. The join is equi-keyed on the
+    chunk value: bucket sizes stay tiny for non-degenerate corpora and the
+    shuffle is uniform (chunk values are hash-like). This is the standard
+    Manku/Jain/Sarma web-dedup layout re-expressed as a DataFrame equi-join.
+    """
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sig = simhash_fingerprints(docs, id_col, text_col)
+    chunks = []
+    for c in range(n_chunks):
+        # last chunk absorbs the remainder bits
+        w = width if c < n_chunks - 1 else 64 - width * (n_chunks - 1)
+        chunks.append(
+            sig.select(
+                "doc_id",
+                "simhash",
+                F.lit(c).alias("chunk_id"),
+                F.substring("simhash", c * width + 1, w).alias("chunk_val"),
+            )
+        )
+    allc = chunks[0]
+    for x in chunks[1:]:
+        allc = allc.unionByName(x)
+    a, b = allc.alias("a"), allc.alias("b")
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            _hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

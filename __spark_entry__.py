@@ -512,6 +512,27 @@ def q_rel_overlap_antijoin(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type").orderBy("event_id")
 
 
+def q_rel_overlap_join(spark, sf_dir):
+    """Interval-overlap INNER join (reference merge1 / eval-overlap pairing,
+    search.py:393-445): error events pair with any same-user event whose
+    60s window intersects the error's +/-120s window."""
+    from wise_spark.pipeline.relational import _epoch_seconds, overlap_join
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_s", _epoch_seconds("ts"))
+    a = ev.select(
+        "user_id", F.col("event_id").alias("a_id"),
+        F.col("ts_s").alias("a_start"), (F.col("ts_s") + F.lit(60.0)).alias("a_end"),
+    )
+    b = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("b_id"),
+        (F.col("ts_s") - F.lit(120.0)).alias("b_start"),
+        (F.col("ts_s") + F.lit(120.0)).alias("b_end"),
+    )
+    out = overlap_join(a, b, "user_id", "a_start", "a_end", "b_start", "b_end",
+                       bucket_seconds=600.0)
+    return out.select("user_id", "a_id", "b_id").orderBy("a_id", "b_id")
+
+
 def q_rel_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -653,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sessionize": q_rel_sessionize,
         "rel_tolerance_merge": q_rel_tolerance_merge,
         "rel_overlap_antijoin": q_rel_overlap_antijoin,
+        "rel_overlap_join": q_rel_overlap_join,
         "rel_best_event_per_user": q_rel_best_event_per_user,
         "rel_ordered_lookup": q_rel_ordered_lookup,
         "emb_norms": q_emb_norms,
@@ -1055,6 +1077,14 @@ WHERE NOT EXISTS (
     AND a.tsd <= b.tsd + 120.0 AND b.tsd - 120.0 <= a.tsd + 60.0
 )
 ORDER BY event_id
+"""
+    sqls["rel_overlap_join"] = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch(ts) AS tsd FROM events)
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+FROM e a JOIN e b
+  ON b.user_id = a.user_id AND b.event_type = 'error'
+ AND a.tsd <= b.tsd + 120.0 AND b.tsd - 120.0 <= a.tsd + 60.0
+ORDER BY a_id, b_id
 """
     sqls["rel_best_event_per_user"] = """
 SELECT user_id, event_id, round(value, 6) AS value FROM (

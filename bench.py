@@ -128,7 +128,7 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
                      local_dirs=f"/dev/shm/wise_bench_local_{cores}") as mc:
         spark = mc.session(
             executor_cores=EXECUTOR_CORES[cores],
-            executor_mem_gb=10,
+            executor_mem_gb=4,
             shuffle_partitions=2 * cores,
             app_name=f"wise_scale_{cores}",
         )
@@ -138,9 +138,10 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
         # paths past C2 JIT-compile thresholds in every executor (a 20k-doc
         # warmup left wave-0 of the timed build paying compilation: measured
         # wave-0 ~2x wave-1 wall)
-        build_index(docs.filter(F.col("doc_id") < max(20000, n_docs // 10)),
-                    warm_dir, url_col="url", n_shards=32, n_buckets=32,
-                    n_waves=2)
+        warm_docs = int(os.environ.get("SPARK_GRAFT_WARMUP_DOCS",
+                                       str(max(20000, n_docs // 10))))
+        build_index(docs.filter(F.col("doc_id") < warm_docs), warm_dir,
+                    url_col="url", n_shards=32, n_buckets=32, n_waves=2)
         shutil.rmtree(warm_dir, ignore_errors=True)
         t0 = time.time()
         build_index(docs, idx_dir, url_col="url", n_shards=32, n_buckets=32,

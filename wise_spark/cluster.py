@@ -133,15 +133,16 @@ class MiniCluster:
             # co-located executors each spawn worker-width GC threads and
             # thrash each other (measured: 3x slowdown at the 4-executor
             # level without this)
-            # -Xms=-Xmx: reserve the whole heap at executor launch so the GC
-            # never RESIZES regions mid-job (heap growth = mmap/mprotect +
-            # TLB shootdowns, pathologically slow on this kernel; measured:
-            # first wave 4x slower than the identical second wave purely from
-            # heap expansion). AlwaysPreTouch was tried and rejected: paging
-            # in N x heap GB serially at launch takes minutes here.
+            # Keep the executor heap SMALL and growable. First-touch page
+            # faults are pathologically expensive on this kernel, so a big
+            # heap is a tax however it is paged in: -Xms=-Xmx spreads G1
+            # allocation over gigabytes of virgin pages all run long
+            # (measured: 3x slower build), AlwaysPreTouch pays minutes at
+            # launch. A small -Xmx keeps G1 recycling the same already-
+            # faulted pages; the build's data lives in python workers and
+            # packed Arrow batches, not the JVM heap.
             "spark.executor.extraJavaOptions":
-                f"-XX:ActiveProcessorCount={executor_cores} "
-                f"-Xms{executor_mem_gb}g",
+                f"-XX:ActiveProcessorCount={executor_cores}",
             "spark.pyspark.python": sys.executable,
             "spark.driver.memory": "8g",
         }

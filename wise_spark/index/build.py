@@ -60,10 +60,21 @@ TOKENS_WAVE_SCHEMA = (
     "doc_id long, doclen long, url string, terms string, tfs binary, "
     "positions binary, shard int, wave int"
 )
+# ONE fat row per (shard, bucket) per pack CHUNK: terms \x00-joined in
+# group order, term_ns = int32 postings-count per term, and the raw
+# little-endian posting buffers concatenated in the same order (doc_id
+# ascending within each term). Fat rows keep the per-wave exchange at
+# ~chunks x n_shards x n_buckets rows (thousands) instead of one thin row
+# per (split, shard, term) (millions) — per-row JVM materialization was the
+# dominant exchange cost — and the chunking bounds pack-kernel memory
+# independent of split size (mandatory at 100 TB; also avoids growing
+# python-worker arenas by GBs, which this kernel pays for in page faults).
 PARTIAL_SCHEMA = (
-    "term string, shard int, bucket int, docids binary, tfs binary, "
-    "doclens binary, positions binary"
+    "shard int, bucket int, terms string, term_ns binary, docids binary, "
+    "tfs binary, doclens binary, positions binary"
 )
+# pack chunk size in flat (doc, term) rows — ~150 MB peak kernel memory
+PACK_CHUNK_TERMS = 1_500_000
 SEGMENT_SCHEMA = (
     "term string, shard int, n long, docids binary, tfs binary, doclens binary, "
     "positions binary, blk_last array<long>, blk_max array<double>, "
@@ -275,23 +286,22 @@ def _doc_tokens_fn(
     return gen
 
 
-def _pack_partition_fn(n_buckets: int, with_positions: bool = False):
-    """Phase 1 (split-local partials): one pass per INPUT SPLIT — expand each
-    packed doc row, factorize terms to int codes, group by (term, shard) with
-    doc_id ascending via int lexsort (pack needs group IDENTITY, not
-    lexicographic term order — sorting strings here is pure waste), pack raw
-    little-endian buffers. Runs map-side directly on the pruned wave scan (no
-    shuffle): each split yields at most one partial run per (shard, term), so
-    a head term fans out into n_splits bounded partials instead of one
+def _pack_partition_fn(n_buckets: int, with_positions: bool = False,
+                       chunk_terms: int = PACK_CHUNK_TERMS):
+    """Phase 1 (split-local partials): stream the wave scan in bounded
+    CHUNKS of packed doc rows; per chunk, expand, factorize terms to int
+    codes, lexsort by (shard, bucket, term, doc_id) (pack needs group
+    IDENTITY, not lexicographic term order — sorting strings here is pure
+    waste), and emit ONE fat row per (shard, bucket) — see PARTIAL_SCHEMA.
+    Runs map-side directly on the pruned wave scan (no shuffle): a head term
+    fans out into at most n_chunks bounded runs per shard instead of one
     unbounded reducer row. bucket — the exchange distribution key — is a
-    deterministic SipHash of the term (pandas hash_array, fixed key), computed
-    once per DISTINCT term in the split."""
+    deterministic SipHash of the term (pandas hash_array, fixed key),
+    computed once per DISTINCT term per chunk."""
     from itertools import chain
 
-    def pack(batches):
-        pdf = _concat_batches(batches)
-        if pdf is None:
-            return
+    def pack_chunk(pdfs: list[pd.DataFrame]):
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         tfs_bufs = pdf["tfs"].to_numpy()
         n_per_doc = np.fromiter(
             (len(b) >> 2 for b in tfs_bufs), dtype=np.int64, count=len(tfs_bufs)
@@ -301,7 +311,7 @@ def _pack_partition_fn(n_buckets: int, with_positions: bool = False):
             list(chain.from_iterable(terms_lists)), dtype=object
         )
         if all_terms.size == 0:
-            return
+            return None
         tf_flat = np.frombuffer(b"".join(tfs_bufs), dtype=np.int32)
         ids_flat = np.repeat(pdf["doc_id"].to_numpy(np.int64), n_per_doc)
         dls_flat = np.repeat(
@@ -309,16 +319,20 @@ def _pack_partition_fn(n_buckets: int, with_positions: bool = False):
         ).astype(np.int32)
         shard_flat = np.repeat(pdf["shard"].to_numpy(np.int32), n_per_doc)
         codes, uniques = pd.factorize(all_terms, sort=False)
-        bucket_of = (pd.util.hash_array(uniques) % n_buckets).astype(np.int32)
-        gkey = codes.astype(np.int64) * np.int64(int(shard_flat.max()) + 1) + shard_flat
-        order = np.lexsort((ids_flat, gkey))
-        gkey = gkey[order]
+        n_uniq = np.int64(uniques.size)
+        bucket_of = (pd.util.hash_array(uniques) % n_buckets).astype(np.int64)
+        # composite int key: (shard, bucket, term-code), doc_id tiebreak
+        sb = shard_flat.astype(np.int64) * n_buckets + bucket_of[codes]
+        skey = sb * n_uniq + codes
+        order = np.lexsort((ids_flat, skey))
+        skey = skey[order]
+        sb_s = skey // n_uniq
         codes_s = codes[order]
-        shard = shard_flat[order]
         ids = np.ascontiguousarray(ids_flat[order])
         tfs = np.ascontiguousarray(tf_flat[order])
         dls = np.ascontiguousarray(dls_flat[order])
-        starts, ends = _group_bounds(gkey)
+        sub_starts, sub_ends = _group_bounds(skey)       # one run per term
+        sup_starts, sup_ends = _group_bounds(sb_s)       # one row per (shard,bucket)
         if with_positions:
             pos_all = np.frombuffer(b"".join(pdf["positions"]), dtype=np.int32)
             tf64 = tf_flat.astype(np.int64)
@@ -330,40 +344,62 @@ def _pack_partition_fn(n_buckets: int, with_positions: bool = False):
                 np.arange(int(tf64.sum()), dtype=np.int64)
                 - np.repeat(dst_base, ord_tf)
             )
-            pb = pos_all[np.repeat(src_off[order], ord_tf) + within].tobytes()
-            bnd = np.r_[0, cum_tf] * 4  # byte offset before each sorted row
-            rows = [
+            pos_sorted = pos_all[np.repeat(src_off[order], ord_tf) + within]
+            pos_bnd = np.r_[0, cum_tf] * 4  # byte offset before each sorted row
+            pb = pos_sorted.tobytes()
+        # map each super group to its sub-run range (both contiguous, aligned)
+        sub_of_sup = np.searchsorted(sub_starts, sup_starts)
+        sub_of_sup_end = np.searchsorted(sub_starts, sup_ends)
+        rows = []
+        for g, (s, e) in enumerate(zip(sup_starts, sup_ends)):
+            lo, hi = sub_of_sup[g], sub_of_sup_end[g]
+            t_codes = codes_s[sub_starts[lo:hi]]
+            rows.append(
                 (
-                    uniques[codes_s[s]], int(shard[s]), int(bucket_of[codes_s[s]]),
+                    int(sb_s[s] // n_buckets), int(sb_s[s] % n_buckets),
+                    "\x00".join(uniques[t_codes]),
+                    (sub_ends[lo:hi] - sub_starts[lo:hi]).astype(np.int32).tobytes(),
                     ids[s:e].tobytes(), tfs[s:e].tobytes(), dls[s:e].tobytes(),
-                    pb[bnd[s]:bnd[e]],  # doc-ascending, aligned with tfs
+                    pb[pos_bnd[s]:pos_bnd[e]] if with_positions else None,
                 )
-                for s, e in zip(starts, ends)
-            ]
-        else:
-            rows = [
-                (
-                    uniques[codes_s[s]], int(shard[s]), int(bucket_of[codes_s[s]]),
-                    ids[s:e].tobytes(), tfs[s:e].tobytes(), dls[s:e].tobytes(),
-                    None,
-                )
-                for s, e in zip(starts, ends)
-            ]
-        yield pd.DataFrame(
+            )
+        return pd.DataFrame(
             rows,
-            columns=["term", "shard", "bucket", "docids", "tfs", "doclens", "positions"],
+            columns=["shard", "bucket", "terms", "term_ns", "docids", "tfs",
+                     "doclens", "positions"],
         )
+
+    def pack(batches):
+        held: list[pd.DataFrame] = []
+        n_flat = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            held.append(pdf)
+            n_flat += int(sum(len(b) >> 2 for b in pdf["tfs"]))
+            if n_flat >= chunk_terms:
+                out = pack_chunk(held)
+                if out is not None:
+                    yield out
+                held, n_flat = [], 0
+        if held:
+            out = pack_chunk(held)
+            if out is not None:
+                yield out
 
     return pack
 
 
 def _merge_partition_fn(avgdl: float, with_positions: bool = False):
-    """Phase 2: k-way merge the split-local partial runs per (shard, term),
-    then varbyte+block-max encode. Partials are each doc_id-sorted but
-    interleave across splits, so the merge is a sorted combine; (doc_id,
-    term) uniqueness is enforced by encode_postings' strictly-ascending
-    contract. Position blocks (raw int32, aligned to postings via tf) are
-    permuted with the same doc order, then delta+varbyte encoded."""
+    """Phase 2: expand the fat (shard, bucket) partial rows into per-term
+    RUNS (numpy offset arithmetic; buffers stay zero-copy views), group runs
+    by (shard, term) via factorized int keys, k-way merge each group's runs,
+    then varbyte+block-max encode every list in one vectorized pass. Runs
+    are each doc_id-sorted but interleave across chunks, so the merge is a
+    sorted combine; (doc_id, term) uniqueness is enforced by
+    encode_postings' strictly-ascending contract. Position blocks (raw
+    int32, aligned to postings via tf) move with their posting."""
+    from itertools import chain
 
     def merge(batches):
         from .codec import encode_postings_many
@@ -371,41 +407,65 @@ def _merge_partition_fn(avgdl: float, with_positions: bool = False):
         pdf = _concat_batches(batches)
         if pdf is None:
             return
-        # group partials by (shard, term) via factorized INT keys — identity
-        # grouping only; string sort order is irrelevant here
-        codes, _ = pd.factorize(pdf["term"].to_numpy(), sort=False)
-        shard0 = pdf["shard"].to_numpy(np.int32)
-        gkey = codes.astype(np.int64) * np.int64(shard0.max() + 1) + shard0
+        nrow = len(pdf)
+        terms_lists = [s.split("\x00") if s else [] for s in pdf["terms"]]
+        all_terms = np.asarray(list(chain.from_iterable(terms_lists)), dtype=object)
+        if all_terms.size == 0:
+            return
+        tn = np.frombuffer(b"".join(pdf["term_ns"]), dtype=np.int32).astype(np.int64)
+        runs_per_row = np.fromiter(
+            (len(b) >> 2 for b in pdf["term_ns"]), dtype=np.int64, count=nrow
+        )
+        row_of_run = np.repeat(np.arange(nrow, dtype=np.int64), runs_per_row)
+        # posting [start, end) of each run WITHIN its row's buffers
+        g_end = np.cumsum(tn)
+        g_start = g_end - tn
+        first_run = np.cumsum(runs_per_row) - runs_per_row
+        row_base = np.repeat(g_start[first_run], runs_per_row)
+        ps = g_start - row_base
+        pe = g_end - row_base
+        # zero-copy per-row buffer views
+        row_ids = [np.frombuffer(b, dtype=np.int64) for b in pdf["docids"]]
+        row_tfs = [np.frombuffer(b, dtype=np.int32) for b in pdf["tfs"]]
+        row_dls = [np.frombuffer(b, dtype=np.int32) for b in pdf["doclens"]]
+        if with_positions:
+            row_pos = [np.frombuffer(b, dtype=np.int32) for b in pdf["positions"]]
+            row_tfcum = [np.r_[0, np.cumsum(t.astype(np.int64))] for t in row_tfs]
+        shard_run = pdf["shard"].to_numpy(np.int64)[row_of_run]
+        codes, uniques = pd.factorize(all_terms, sort=False)
+        gkey = codes * np.int64(int(shard_run.max()) + 1) + shard_run
         order = np.argsort(gkey, kind="stable")
-        gkey = gkey[order]
-        shard = shard0[order]
-        terms = pdf["term"].to_numpy()[order]
-        d_ids = pdf["docids"].to_numpy()[order]
-        d_tfs = pdf["tfs"].to_numpy()[order]
-        d_dls = pdf["doclens"].to_numpy()[order]
-        d_pos = pdf["positions"].to_numpy()[order] if with_positions else None
-        g_starts, g_ends = _group_bounds(gkey)
-        # merge the partials per (shard, term) into one big sorted
-        # concatenation, then encode EVERY list in one vectorized pass
+        gkey_s = gkey[order]
+        g_starts, g_ends = _group_bounds(gkey_s)
         ids_parts, tfs_parts, dls_parts, pos_parts, lens = [], [], [], [], []
+        out_terms, out_shards = [], []
         for s, e in zip(g_starts, g_ends):
-            if e - s == 1:
-                ids = np.frombuffer(d_ids[s], dtype=np.int64)
-                tfs = np.frombuffer(d_tfs[s], dtype=np.int32).astype(np.int64)
-                dls = np.frombuffer(d_dls[s], dtype=np.int32).astype(np.int64)
-                pos = (np.frombuffer(d_pos[s], dtype=np.int32).astype(np.int64)
-                       if with_positions else None)
-                if not (ids[1:] > ids[:-1]).all():
-                    order = np.argsort(ids, kind="mergesort")
-                    ids, tfs, dls, pos = _permute(ids, tfs, dls, pos, order)
+            runs = order[s:e]
+            out_terms.append(all_terms[runs[0]])
+            out_shards.append(int(shard_run[runs[0]]))
+            id_l, tf_l, dl_l, po_l = [], [], [], []
+            for r in runs:
+                i = row_of_run[r]
+                id_l.append(row_ids[i][ps[r]:pe[r]])
+                tf_l.append(row_tfs[i][ps[r]:pe[r]])
+                dl_l.append(row_dls[i][ps[r]:pe[r]])
+                if with_positions:
+                    po_l.append(
+                        row_pos[i][row_tfcum[i][ps[r]]:row_tfcum[i][pe[r]]]
+                    )
+            if len(id_l) == 1:
+                ids = id_l[0]
+                tfs = tf_l[0].astype(np.int64)
+                dls = dl_l[0].astype(np.int64)
+                pos = po_l[0].astype(np.int64) if with_positions else None
             else:
-                ids = np.concatenate([np.frombuffer(b, dtype=np.int64) for b in d_ids[s:e]])
-                tfs = np.concatenate([np.frombuffer(b, dtype=np.int32) for b in d_tfs[s:e]]).astype(np.int64)
-                dls = np.concatenate([np.frombuffer(b, dtype=np.int32) for b in d_dls[s:e]]).astype(np.int64)
-                pos = (np.concatenate([np.frombuffer(b, dtype=np.int32) for b in d_pos[s:e]]).astype(np.int64)
+                ids = np.concatenate(id_l)
+                tfs = np.concatenate(tf_l).astype(np.int64)
+                dls = np.concatenate(dl_l).astype(np.int64)
+                pos = (np.concatenate(po_l).astype(np.int64)
                        if with_positions else None)
-                order = np.argsort(ids, kind="mergesort")
-                ids, tfs, dls, pos = _permute(ids, tfs, dls, pos, order)
+                o = np.argsort(ids, kind="mergesort")
+                ids, tfs, dls, pos = _permute(ids, tfs, dls, pos, o)
             ids_parts.append(ids)
             tfs_parts.append(tfs)
             dls_parts.append(dls)
@@ -416,17 +476,20 @@ def _merge_partition_fn(avgdl: float, with_positions: bool = False):
         ends = np.cumsum(lens)
         starts = ends - lens
         encs = encode_postings_many(
-            np.concatenate(ids_parts), np.concatenate(tfs_parts),
-            np.concatenate(dls_parts), starts, ends, avgdl,
-            positions=np.concatenate(pos_parts) if with_positions else None,
+            np.concatenate(ids_parts),
+            np.concatenate(tfs_parts).astype(np.int64),
+            np.concatenate(dls_parts).astype(np.int64),
+            starts, ends, avgdl,
+            positions=(np.concatenate(pos_parts).astype(np.int64)
+                       if with_positions else None),
         )
         out = [
             (
-                terms[s], int(shard[s]), enc["n"], enc["docids"], enc["tfs"],
-                enc["doclens"], enc["positions"], enc["blk_last"],
+                out_terms[i], out_shards[i], enc["n"], enc["docids"],
+                enc["tfs"], enc["doclens"], enc["positions"], enc["blk_last"],
                 enc["blk_max"], enc["max_tfc"], enc["sum_tf"],
             )
-            for (s, enc) in zip(g_starts, encs)
+            for i, enc in enumerate(encs)
         ]
         yield pd.DataFrame(
             out,

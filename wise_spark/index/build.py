@@ -73,8 +73,12 @@ PARTIAL_SCHEMA = (
     "shard int, bucket int, terms string, term_ns binary, docids binary, "
     "tfs binary, doclens binary, positions binary"
 )
-# pack chunk size in flat (doc, term) rows — ~150 MB peak kernel memory
-PACK_CHUNK_TERMS = 1_500_000
+# pack chunk size in flat (doc, term) rows: ~one Arrow batch, ~40 MB peak.
+# Small chunks matter more than dedup here: the FIRST touch of every new
+# arena page costs this kernel dearly (measured: identical pack kernels 38-48s
+# cold vs 5-13s warm purely from faulting a ~300 MB working set), so the
+# kernel must fit in a footprint it can recycle chunk over chunk.
+PACK_CHUNK_TERMS = 400_000
 SEGMENT_SCHEMA = (
     "term string, shard int, n long, docids binary, tfs binary, doclens binary, "
     "positions binary, blk_last array<long>, blk_max array<double>, "
@@ -370,22 +374,38 @@ def _pack_partition_fn(n_buckets: int, with_positions: bool = False,
         )
 
     def pack(batches):
+        import os as _os
+        import time as _time
+
+        prof = _os.environ.get("SPARK_GRAFT_PROFILE_PACK")
+        t_in = t_kernel = 0.0
+        n_batches = 0
         held: list[pd.DataFrame] = []
         n_flat = 0
+        t0 = _time.time()
         for pdf in batches:
-            if not len(pdf):
-                continue
-            held.append(pdf)
-            n_flat += int(sum(len(b) >> 2 for b in pdf["tfs"]))
-            if n_flat >= chunk_terms:
-                out = pack_chunk(held)
-                if out is not None:
-                    yield out
-                held, n_flat = [], 0
+            t_in += _time.time() - t0  # time spent WAITING for/deserializing input
+            n_batches += 1
+            if len(pdf):
+                held.append(pdf)
+                n_flat += int(sum(len(b) >> 2 for b in pdf["tfs"]))
+                if n_flat >= chunk_terms:
+                    t1 = _time.time()
+                    out = pack_chunk(held)
+                    t_kernel += _time.time() - t1
+                    if out is not None:
+                        yield out
+                    held, n_flat = [], 0
+            t0 = _time.time()
         if held:
+            t1 = _time.time()
             out = pack_chunk(held)
+            t_kernel += _time.time() - t1
             if out is not None:
                 yield out
+        if prof:
+            with open(f"/tmp/pack_prof_{_os.getpid()}_{_time.time():.0f}", "w") as f:
+                f.write(f"batches={n_batches} input_wait_s={t_in:.2f} kernel_s={t_kernel:.2f}\n")
 
     return pack
 
@@ -605,31 +625,25 @@ def build_index(
     done_units = _completed_units(spark, index_dir, "segments") if resume else set()
     waves = [list(range(w, n_shards, n_waves)) for w in range(n_waves)]
     tf_all = spark.read.parquet(tokens_path)
-    for w, shard_list in enumerate(waves):
-        unit = f"wave-{w}"
-        if unit in done_units:
-            continue
-        if fail_after_waves is not None and w >= fail_after_waves:
-            raise RuntimeError(f"injected failure before {unit}")
-        # idempotent re-run: a crash between the wave's parquet commit and its
-        # lineage row would otherwise double-append every (term, shard) row on
-        # resume. Shards are wave-exclusive (s % n_waves == w), so deleting
-        # this wave's shard dirs before (re)running restores exactly-once.
-        import shutil as _shutil
+    os.makedirs(segments_path, exist_ok=True)
+    import shutil as _shutil
 
-        for s in shard_list:
-            _shutil.rmtree(os.path.join(segments_path, f"shard={s}"), ignore_errors=True)
+    def _run_wave(w: int, shard_list: list[int]) -> None:
+        unit = f"wave-{w}"
         t0 = time.time()
         # wave-dir partition pruning; bucket is computed inside the pack
-        # kernel (one hash per distinct term per split)
+        # kernel (one hash per distinct term per chunk)
         tf = tf_all.filter(F.col("wave") == w).drop("url")
-        # two-phase build with ONE exchange: phase 1 packs split-local partial
-        # runs map-side directly on the pruned scan (no repartition — no
-        # reducer ever receives raw per-posting rows); phase 2 k-way merges
-        # the partials per (shard, term) grouped by (shard, bucket) over an
-        # explicit partition count (NOT coupled to spark.sql.shuffle
-        # .partitions), then writes straight into shard= dirs (no write-side
-        # repartition; each reduce task writes its shards' files directly).
+        # two-phase build with ONE exchange: phase 1 packs chunk-local fat
+        # partial rows map-side directly on the pruned scan (no repartition —
+        # no reducer ever receives raw per-posting rows); phase 2 k-way
+        # merges the runs per (shard, term) grouped by (shard, bucket) over
+        # an explicit partition count (NOT coupled to spark.sql.shuffle
+        # .partitions). The wave writes to a STAGING dir and publishes each
+        # shard dir with an atomic rename AFTER the job commits — concurrent
+        # waves never share an output _temporary dir, and a crash anywhere
+        # before the lineage row leaves the published tree untouched
+        # (re-running the wave is exactly-once).
         p2 = max(2 * par, 8)
         partial = tf.mapInPandas(
             _pack_partition_fn(n_buckets, with_positions=with_positions),
@@ -639,13 +653,47 @@ def build_index(
             _merge_partition_fn(avgdl, with_positions=with_positions),
             schema=SEGMENT_SCHEMA,
         )
-        segs.write.mode("append").partitionBy("shard").parquet(segments_path)
+        stage_dir = os.path.join(index_dir, f"_wave_stage_{w}")
+        _shutil.rmtree(stage_dir, ignore_errors=True)
+        segs.write.mode("overwrite").partitionBy("shard").parquet(stage_dir)
+        for s in shard_list:
+            src = os.path.join(stage_dir, f"shard={s}")
+            dst = os.path.join(segments_path, f"shard={s}")
+            _shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                os.replace(src, dst)
+        _shutil.rmtree(stage_dir, ignore_errors=True)
         postings, nbytes = _wave_metrics(segments_path, shard_list)
         _append_lineage(
             spark, index_dir,
             [("segments", unit, "done", postings, nbytes,
               int((time.time() - t0) * 1000))],
         )
+
+    pending = [
+        (w, sl) for w, sl in enumerate(waves) if f"wave-{w}" not in done_units
+    ]
+    if fail_after_waves is not None:
+        # deterministic order for the crash-injection test hook
+        for w, sl in pending:
+            if w >= fail_after_waves:
+                raise RuntimeError(f"injected failure before wave-{w}")
+            _run_wave(w, sl)
+    elif len(pending) > 1 and par >= 8:
+        # on WIDE clusters, run waves CONCURRENTLY (two driver threads
+        # submitting independent jobs): stage barriers and scheduling gaps
+        # of one wave are filled by the other wave's tasks (measured
+        # slot-occupancy win at 8+ executor cores). Narrow clusters run
+        # sequentially — two interleaved waves just thrash 1-2 slots.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = [ex.submit(_run_wave, w, sl) for w, sl in pending]
+            for f in futs:
+                f.result()
+    else:
+        for w, sl in pending:
+            _run_wave(w, sl)
 
     # ---- Stage D: exact term df table (range-partitioned, sorted) -----------
     if not (resume and _done(terms_path)):

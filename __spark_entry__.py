@@ -1113,7 +1113,7 @@ s AS (
                              ROWS UNBOUNDED PRECEDING) - 1 AS session_id
   FROM e
 )
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
        CAST(floor(min(tsd)) AS BIGINT) AS start_s,
        CAST(floor(max(tsd)) AS BIGINT) AS end_s,
        CAST(floor(max(tsd) - min(tsd)) AS BIGINT) AS duration_s
@@ -1140,7 +1140,7 @@ g AS (
                              ROWS UNBOUNDED PRECEDING) - 1 AS merge_id
   FROM e
 )
-SELECT user_id, merge_id, count(*) AS n_hits,
+SELECT user_id, CAST(merge_id AS BIGINT) AS merge_id, count(*) AS n_hits,
        CAST(floor(min(tsd)) AS BIGINT) AS start_s,
        CAST(floor(max(tsd)) AS BIGINT) AS end_s,
        CAST(min(rank) AS BIGINT) AS best_rank,

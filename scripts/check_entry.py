@@ -21,13 +21,43 @@ import __spark_entry__ as E  # noqa: E402
 from wise_spark.session import get_spark  # noqa: E402
 
 
-def duck_run(sf_dir: str, sql: str) -> pd.DataFrame:
+def duck_run(sf_dir: str, sql: str):
+    """Return (pandas_df, arrow_schema). The arrow schema is what the driver
+    hashes — an uncast DuckDB HUGEINT (decimal128) breaks the hash even when
+    values match, so the dtype check below is load-bearing."""
     con = duckdb.connect()
     for t in E.TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    return con.execute(sql).fetchdf()
+    tb = con.execute(sql).arrow()
+    return tb.to_pandas(), tb.schema
+
+
+def dtype_errs(name: str, spark_schema, duck_schema) -> list[str]:
+    """Flag numeric-kind mismatches between Spark's arrow output and the
+    oracle's (int vs decimal vs float); string/binary/list nuances are fine."""
+    import pyarrow as pa
+
+    def kind(t: "pa.DataType") -> str:
+        if pa.types.is_integer(t):
+            return "int"
+        if pa.types.is_floating(t):
+            return "float"
+        if pa.types.is_decimal(t):
+            return "decimal"
+        return "other"
+
+    sp = {f.name: f.type for f in spark_schema}
+    du = {f.name: f.type for f in duck_schema}
+    out = []
+    for c in sorted(set(sp) & set(du)):
+        if kind(sp[c]) != kind(du[c]):
+            out.append(
+                f"{name}.{c}: arrow dtype kind mismatch spark={sp[c]} vs oracle={du[c]}"
+                " (driver hash will fail even if values match)"
+            )
+    return out
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -73,7 +103,9 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            got = fn(spark, sf_dir).toPandas()
+            sdf = fn(spark, sf_dir)
+            stb = sdf.toArrow()
+            got = stb.to_pandas()
         except Exception as ex:  # noqa: BLE001
             failures.append(f"{name}: SPARK ERROR {type(ex).__name__}: {ex}")
             print(f"FAIL  {name} (spark error)", flush=True)
@@ -82,12 +114,12 @@ def main() -> int:
             print(f"rows-only  {name}: {len(got)} rows", flush=True)
             continue
         try:
-            want = duck_run(sf_dir, sqls[name])
+            want, duck_schema = duck_run(sf_dir, sqls[name])
         except Exception as ex:  # noqa: BLE001
             failures.append(f"{name}: DUCKDB ERROR {type(ex).__name__}: {ex}")
             print(f"FAIL  {name} (duckdb error)", flush=True)
             continue
-        errs = compare(name, got, want)
+        errs = compare(name, got, want) + dtype_errs(name, stb.schema, duck_schema)
         if errs:
             failures.extend(errs)
             print(f"FAIL  {name}: {errs[0]}", flush=True)

@@ -128,6 +128,13 @@ class MiniCluster:
             "spark.executorEnv.MALLOC_MMAP_THRESHOLD_": "536870912",
             "spark.executorEnv.MALLOC_TRIM_THRESHOLD_": "536870912",
             "spark.executorEnv.MALLOC_MMAP_MAX_": "0",
+            # pyarrow's bundled jemalloc ignores the glibc tunables above and
+            # returns dirty pages to the kernel on its decay schedule — every
+            # Arrow batch then refaults its buffers (a VM exit per first
+            # touch under firecracker). The system pool routes Arrow through
+            # glibc malloc, which the tunables pin to a recycled arena.
+            "spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL": os.environ.get(
+                "WISE_ARROW_POOL", "system"),
             # each executor JVM must size its GC/JIT thread pools to ITS core
             # share, not the worker's whole affinity set — otherwise 4
             # co-located executors each spawn worker-width GC threads and

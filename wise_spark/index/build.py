@@ -92,6 +92,13 @@ LINEAGE_SCHEMA = (
 # pyarrow column read to a distributed Spark aggregation (same exact result)
 DRIVER_STATS_MAX_ROWS = 50_000_000
 
+# bumped on any incompatible change to a checkpoint's on-disk layout.
+# v3: segments/wave=N/ flat files (shard as data column); v2 was
+# segments/shard=N/ dirs; v1 was flat (doc_id, term) token rows. Resuming a
+# partial build across layouts would silently mis-read the old checkpoint
+# (e.g. inflate doc_map N), so a marker mismatch forces a clean rebuild.
+LAYOUT_VERSION = 3
+
 
 @dataclass
 class IndexMeta:
@@ -186,7 +193,7 @@ def _group_bounds(*key_arrays: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return np.r_[0, idx], np.r_[idx, n]
 
 
-def _wave_metrics(segments_path: str, shard_list: list[int]) -> tuple[int, int]:
+def _wave_metrics(wave_dir: str) -> tuple[int, int]:
     """Per-wave lineage metrics from parquet footers + one tiny column read
     (no Spark job): postings = sum of 'n'; bytes = compressed payload size of
     the three varbyte columns from column-chunk metadata."""
@@ -195,23 +202,21 @@ def _wave_metrics(segments_path: str, shard_list: list[int]) -> tuple[int, int]:
     postings = 0
     nbytes = 0
     payload_cols = {"docids", "tfs", "doclens"}
-    for s in shard_list:
-        d = os.path.join(segments_path, f"shard={s}")
-        if not os.path.isdir(d):
+    if not os.path.isdir(wave_dir):
+        return 0, 0
+    for fn in os.listdir(wave_dir):
+        if not fn.endswith(".parquet") or fn.startswith("."):
             continue
-        for fn in os.listdir(d):
-            if not fn.endswith(".parquet"):
-                continue
-            pf = pq.ParquetFile(os.path.join(d, fn))
-            t = pf.read(columns=["n"])
-            postings += int(t.column("n").to_pandas().sum())
-            md = pf.metadata
-            for rg in range(md.num_row_groups):
-                g = md.row_group(rg)
-                for ci in range(g.num_columns):
-                    col = g.column(ci)
-                    if col.path_in_schema in payload_cols:
-                        nbytes += col.total_compressed_size
+        pf = pq.ParquetFile(os.path.join(wave_dir, fn))
+        t = pf.read(columns=["n"])
+        postings += int(t.column("n").to_pandas().sum())
+        md = pf.metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema in payload_cols:
+                    nbytes += col.total_compressed_size
     return postings, nbytes
 
 
@@ -404,8 +409,15 @@ def _pack_partition_fn(n_buckets: int, with_positions: bool = False,
             if out is not None:
                 yield out
         if prof:
+            import resource as _res
+
+            ru = _res.getrusage(_res.RUSAGE_SELF)
             with open(f"/tmp/pack_prof_{_os.getpid()}_{_time.time():.0f}", "w") as f:
-                f.write(f"batches={n_batches} input_wait_s={t_in:.2f} kernel_s={t_kernel:.2f}\n")
+                f.write(
+                    f"batches={n_batches} input_wait_s={t_in:.2f} "
+                    f"kernel_s={t_kernel:.2f} cpu_s={_time.process_time():.2f} "
+                    f"minflt={ru.ru_minflt} majflt={ru.ru_majflt}\n"
+                )
 
     return pack
 
@@ -422,9 +434,15 @@ def _merge_partition_fn(avgdl: float, with_positions: bool = False):
     from itertools import chain
 
     def merge(batches):
+        import os as _os
+        import time as _time
+
         from .codec import encode_postings_many
 
+        prof = _os.environ.get("SPARK_GRAFT_PROFILE_PACK")
+        t_start = _time.time()
         pdf = _concat_batches(batches)
+        t_in = _time.time() - t_start
         if pdf is None:
             return
         nrow = len(pdf)
@@ -436,81 +454,53 @@ def _merge_partition_fn(avgdl: float, with_positions: bool = False):
         runs_per_row = np.fromiter(
             (len(b) >> 2 for b in pdf["term_ns"]), dtype=np.int64, count=nrow
         )
-        row_of_run = np.repeat(np.arange(nrow, dtype=np.int64), runs_per_row)
-        # posting [start, end) of each run WITHIN its row's buffers
-        g_end = np.cumsum(tn)
-        g_start = g_end - tn
-        first_run = np.cumsum(runs_per_row) - runs_per_row
-        row_base = np.repeat(g_start[first_run], runs_per_row)
-        ps = g_start - row_base
-        pe = g_end - row_base
-        # zero-copy per-row buffer views
-        row_ids = [np.frombuffer(b, dtype=np.int64) for b in pdf["docids"]]
-        row_tfs = [np.frombuffer(b, dtype=np.int32) for b in pdf["tfs"]]
-        row_dls = [np.frombuffer(b, dtype=np.int32) for b in pdf["doclens"]]
-        if with_positions:
-            row_pos = [np.frombuffer(b, dtype=np.int32) for b in pdf["positions"]]
-            row_tfcum = [np.r_[0, np.cumsum(t.astype(np.int64))] for t in row_tfs]
-        shard_run = pdf["shard"].to_numpy(np.int64)[row_of_run]
+        # FLAT layout: rows are concatenated in pdf order, runs in row order,
+        # postings in run order — so b"".join of the payload columns yields
+        # posting-aligned flat arrays directly, no per-run views needed.
+        ids_flat = np.frombuffer(b"".join(pdf["docids"]), dtype=np.int64)
+        tfs_flat = np.frombuffer(b"".join(pdf["tfs"]), dtype=np.int32).astype(np.int64)
+        dls_flat = np.frombuffer(b"".join(pdf["doclens"]), dtype=np.int32).astype(np.int64)
+        pos_flat = (
+            np.frombuffer(b"".join(pdf["positions"]), dtype=np.int32).astype(np.int64)
+            if with_positions else None
+        )
+        shard_run = np.repeat(pdf["shard"].to_numpy(np.int64), runs_per_row)
         codes, uniques = pd.factorize(all_terms, sort=False)
-        gkey = codes * np.int64(int(shard_run.max()) + 1) + shard_run
-        order = np.argsort(gkey, kind="stable")
-        gkey_s = gkey[order]
-        g_starts, g_ends = _group_bounds(gkey_s)
-        ids_parts, tfs_parts, dls_parts, pos_parts, lens = [], [], [], [], []
-        out_terms, out_shards = [], []
-        for s, e in zip(g_starts, g_ends):
-            runs = order[s:e]
-            out_terms.append(all_terms[runs[0]])
-            out_shards.append(int(shard_run[runs[0]]))
-            id_l, tf_l, dl_l, po_l = [], [], [], []
-            for r in runs:
-                i = row_of_run[r]
-                id_l.append(row_ids[i][ps[r]:pe[r]])
-                tf_l.append(row_tfs[i][ps[r]:pe[r]])
-                dl_l.append(row_dls[i][ps[r]:pe[r]])
-                if with_positions:
-                    po_l.append(
-                        row_pos[i][row_tfcum[i][ps[r]]:row_tfcum[i][pe[r]]]
-                    )
-            if len(id_l) == 1:
-                ids = id_l[0]
-                tfs = tf_l[0].astype(np.int64)
-                dls = dl_l[0].astype(np.int64)
-                pos = po_l[0].astype(np.int64) if with_positions else None
-            else:
-                ids = np.concatenate(id_l)
-                tfs = np.concatenate(tf_l).astype(np.int64)
-                dls = np.concatenate(dl_l).astype(np.int64)
-                pos = (np.concatenate(po_l).astype(np.int64)
-                       if with_positions else None)
-                o = np.argsort(ids, kind="mergesort")
-                ids, tfs, dls, pos = _permute(ids, tfs, dls, pos, o)
-            ids_parts.append(ids)
-            tfs_parts.append(tfs)
-            dls_parts.append(dls)
-            if with_positions:
-                pos_parts.append(pos)
-            lens.append(ids.size)
-        lens = np.asarray(lens, dtype=np.int64)
-        ends = np.cumsum(lens)
-        starts = ends - lens
+        # ONE global lexsort groups every posting by (term, shard) and
+        # doc_id-ascending within the group — the k-way merge of all runs in
+        # a single vectorized pass (the per-group python loop this replaces
+        # spent its wall in interpreter overhead and small-array churn)
+        S = np.int64(int(shard_run.max()) + 1)
+        gkey_post = np.repeat(codes.astype(np.int64) * S + shard_run, tn)
+        order = np.lexsort((ids_flat, gkey_post))
+        ids, tfs, dls, pos = _permute(ids_flat, tfs_flat, dls_flat, pos_flat, order)
+        gkey_s = gkey_post[order]
+        starts, ends = _group_bounds(gkey_s)
+        gk = gkey_s[starts]
+        out_codes = gk // S
+        out_shards = (gk % S).astype(np.int64)
         encs = encode_postings_many(
-            np.concatenate(ids_parts),
-            np.concatenate(tfs_parts).astype(np.int64),
-            np.concatenate(dls_parts).astype(np.int64),
-            starts, ends, avgdl,
-            positions=(np.concatenate(pos_parts).astype(np.int64)
-                       if with_positions else None),
+            ids, tfs, dls, starts, ends, avgdl, positions=pos,
         )
         out = [
             (
-                out_terms[i], out_shards[i], enc["n"], enc["docids"],
+                uniques[out_codes[i]], int(out_shards[i]), enc["n"], enc["docids"],
                 enc["tfs"], enc["doclens"], enc["positions"], enc["blk_last"],
                 enc["blk_max"], enc["max_tfc"], enc["sum_tf"],
             )
             for i, enc in enumerate(encs)
         ]
+        if prof:
+            import resource as _res
+
+            ru = _res.getrusage(_res.RUSAGE_SELF)
+            with open(f"/tmp/merge_prof_{_os.getpid()}_{_time.time():.0f}", "w") as f:
+                f.write(
+                    f"rows={nrow} groups={len(out)} input_s={t_in:.2f} "
+                    f"kernel_s={_time.time() - t_start - t_in:.2f} "
+                    f"cpu_s={_time.process_time():.2f} "
+                    f"minflt={ru.ru_minflt} majflt={ru.ru_majflt}\n"
+                )
         yield pd.DataFrame(
             out,
             columns=[
@@ -545,7 +535,7 @@ def build_index(
     n_shards: int | None = None,
     n_buckets: int = 32,
     n_salts: int = 4,
-    n_waves: int = 4,
+    n_waves: int | None = None,
     resume: bool = True,
     with_positions: bool = False,
     fail_after_waves: int | None = None,  # test hook: simulate a mid-build kill
@@ -558,14 +548,39 @@ def build_index(
     segments_path = os.path.join(index_dir, "segments")
     terms_path = os.path.join(index_dir, "terms")
 
+    # checkpoint-layout guard: a partial build from an older code version
+    # must rebuild, not resume across an incompatible on-disk layout
+    import shutil as _shutil
+
+    layout_path = os.path.join(index_dir, "layout.json")
+    found_ver = None
+    if os.path.exists(layout_path):
+        with open(layout_path) as f:
+            found_ver = json.load(f).get("layout")
+    if found_ver != LAYOUT_VERSION:
+        for p in (tokens_path, doc_map_path, segments_path, terms_path,
+                  os.path.join(index_dir, "lineage")):
+            if os.path.exists(p):
+                _shutil.rmtree(p, ignore_errors=True)
+        with open(layout_path, "w") as f:
+            json.dump({"layout": LAYOUT_VERSION}, f)
+
     # ---- Stage A: tokenize ONCE -> flat tf rows, partitioned by wave --------
     # No shuffle: the flat mapInPandas kernel emits final rows and each map
     # task writes its own per-wave files (n_waves files per task). Wave
     # pruning in Stage C replaces the old per-shard partition pruning.
     par = spark.sparkContext.defaultParallelism
-    if n_shards is None:
+    if n_shards is None or n_waves is None:
         n_docs_hint = docs.count()
-        n_shards = max(4, min(4096, int(n_docs_hint // 250_000) + 4))
+        if n_shards is None:
+            n_shards = max(4, min(4096, int(n_docs_hint // 250_000) + 4))
+        if n_waves is None:
+            # waves bound Stage C's per-job working set and give per-wave
+            # resume granularity; below ~20M docs one wave is the right job
+            # shape (extra waves just multiply stage fixed costs), at 10^12
+            # docs this yields the capped 64 passes of ~1.5% of the corpus
+            n_waves = max(1, min(64, int(n_docs_hint // 20_000_000) + 1))
+    n_waves = min(n_waves, n_shards)
     if not (resume and _done(tokens_path)):
         t0 = time.time()
         sel = [F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")]
@@ -639,12 +654,14 @@ def build_index(
         # no reducer ever receives raw per-posting rows); phase 2 k-way
         # merges the runs per (shard, term) grouped by (shard, bucket) over
         # an explicit partition count (NOT coupled to spark.sql.shuffle
-        # .partitions). The wave writes to a STAGING dir and publishes each
-        # shard dir with an atomic rename AFTER the job commits — concurrent
-        # waves never share an output _temporary dir, and a crash anywhere
+        # .partitions). The wave writes FLAT files (shard stays a data
+        # column — a dynamic partitionBy("shard") write made every merge
+        # task sort and juggle n_shards open writers, +65% write wall at 8
+        # cores) to a STAGING dir, then publishes with ONE atomic dir rename
+        # to segments/wave=<w>/ AFTER the job commits: a crash anywhere
         # before the lineage row leaves the published tree untouched
         # (re-running the wave is exactly-once).
-        p2 = max(2 * par, 8)
+        p2 = int(os.environ.get("WISE_SEG_PARTITIONS", "0")) or max(2 * par, 8)
         partial = tf.mapInPandas(
             _pack_partition_fn(n_buckets, with_positions=with_positions),
             schema=PARTIAL_SCHEMA,
@@ -655,15 +672,21 @@ def build_index(
         )
         stage_dir = os.path.join(index_dir, f"_wave_stage_{w}")
         _shutil.rmtree(stage_dir, ignore_errors=True)
-        segs.write.mode("overwrite").partitionBy("shard").parquet(stage_dir)
-        for s in shard_list:
-            src = os.path.join(stage_dir, f"shard={s}")
-            dst = os.path.join(segments_path, f"shard={s}")
-            _shutil.rmtree(dst, ignore_errors=True)
-            if os.path.isdir(src):
-                os.replace(src, dst)
-        _shutil.rmtree(stage_dir, ignore_errors=True)
-        postings, nbytes = _wave_metrics(segments_path, shard_list)
+        t_write0 = time.time()
+        segs.write.mode("overwrite").parquet(stage_dir)
+        t_write = time.time() - t_write0
+        t_pub0 = time.time()
+        dst = os.path.join(segments_path, f"wave={w}")
+        _shutil.rmtree(dst, ignore_errors=True)
+        os.replace(stage_dir, dst)
+        t_pub = time.time() - t_pub0
+        t_met0 = time.time()
+        postings, nbytes = _wave_metrics(dst)
+        t_met = time.time() - t_met0
+        if os.environ.get("SPARK_GRAFT_PROFILE_PACK"):
+            with open(f"/tmp/wave_prof_{w}_{int(time.time())}", "w") as f:
+                f.write(f"wave={w} write_s={t_write:.2f} publish_s={t_pub:.2f} "
+                        f"metrics_s={t_met:.2f} total_s={time.time() - t0:.2f}\n")
         _append_lineage(
             spark, index_dir,
             [("segments", unit, "done", postings, nbytes,
@@ -679,12 +702,14 @@ def build_index(
             if w >= fail_after_waves:
                 raise RuntimeError(f"injected failure before wave-{w}")
             _run_wave(w, sl)
-    elif len(pending) > 1 and par >= 8:
-        # on WIDE clusters, run waves CONCURRENTLY (two driver threads
-        # submitting independent jobs): stage barriers and scheduling gaps
-        # of one wave are filled by the other wave's tasks (measured
-        # slot-occupancy win at 8+ executor cores). Narrow clusters run
-        # sequentially — two interleaved waves just thrash 1-2 slots.
+    elif len(pending) > 1 and os.environ.get("WISE_WAVE_CONCURRENCY") == "1":
+        # opt-in only: concurrent waves measured SLOWER than sequential on
+        # every tested level (e.g. 128s vs 73s at 8 cores) — two jobs'
+        # python workers double the resident working set and the py-worker
+        # count per core, and on this box page-fault cost grows with the
+        # number of concurrently-faulting processes. A real cluster with
+        # idle slots MAY profit; it must be measured there, so the knob
+        # survives, off by default.
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=2) as ex:

@@ -126,16 +126,21 @@ def merge_indexes(
     with_pos = bool(ma.extras.get("with_positions")) and bool(
         mb.extras.get("with_positions")
     )
-    segs = spark.read.parquet(os.path.join(dir_a, "segments")).unionByName(
-        spark.read.parquet(os.path.join(dir_b, "segments")), allowMissingColumns=True
+    segs = (
+        spark.read.parquet(os.path.join(dir_a, "segments")).drop("wave")
+        .unionByName(
+            spark.read.parquet(os.path.join(dir_b, "segments")).drop("wave"),
+            allowMissingColumns=True,
+        )
     )
     par = spark.sparkContext.defaultParallelism
     merged = segs.repartition(max(par, 4), "shard", "term").mapInPandas(
         _remerge_fn(avgdl, with_positions=with_pos), schema=SEGMENT_SCHEMA
     )
-    merged.repartition(ma.n_shards, "shard").write.mode("overwrite").partitionBy(
-        "shard"
-    ).parquet(os.path.join(out_dir, "segments"))
+    # same flat per-wave layout as build_index (wave=0 = "fully merged")
+    merged.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "segments", "wave=0")
+    )
 
     terms = (
         spark.read.parquet(os.path.join(out_dir, "segments"))
@@ -185,6 +190,10 @@ def extend_index(
             new_docs, delta_dir, id_col=id_col, text_col=text_col,
             url_col=url_col, n_shards=meta.n_shards, n_buckets=meta.n_buckets,
             n_salts=meta.n_salts, n_waves=1,
+            # the delta must carry whatever the base index carries — a
+            # positionless delta would silently strip positions from the
+            # merged index (merge computes with_pos = A AND B)
+            with_positions=bool(meta.extras.get("with_positions")),
         )
         return merge_indexes(spark, index_dir, delta_dir, out_dir)
     finally:

@@ -69,7 +69,11 @@ class FtsIndex:
         self.spark = spark
         self.index_dir = index_dir
         self.meta = meta
-        self._segments = spark.read.parquet(os.path.join(index_dir, "segments"))
+        # `wave` is a build-bookkeeping partition column (one dir per build
+        # wave, atomic-rename publish unit) — queries never prune on it
+        self._segments = spark.read.parquet(
+            os.path.join(index_dir, "segments")
+        ).drop("wave")
         self._terms = spark.read.parquet(os.path.join(index_dir, "terms"))
         self._df_cache: dict[str, int] | None = None
         self._cached_by_shard = False

@@ -52,6 +52,7 @@ def stream_build_index(
     n_buckets: int = 8,
     max_files_per_trigger: int = 1,
     available_now: bool = True,
+    with_positions: bool = False,
 ):
     """Run the incremental build stream. With available_now=True this
     processes the current backlog and stops (batch-incremental snapshots);
@@ -77,6 +78,7 @@ def stream_build_index(
             build_index(
                 batch, out, id_col=id_col, text_col=text_col, url_col=url_col,
                 n_shards=n_shards, n_buckets=n_buckets, n_waves=1,
+                with_positions=with_positions,
             )
         else:
             extend_index(

@@ -87,7 +87,7 @@ def main() -> None:
         out["pack_prof"] = profs[:20]
 
         # ---- B: full wave variants ----------------------------------------
-        p2 = 2 * cores
+        p2 = 16
         segs = partial.repartition(p2, "shard", "bucket").mapInPandas(
             _merge_partition_fn(100.0), schema=SEGMENT_SCHEMA,
         )

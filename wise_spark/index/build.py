@@ -99,6 +99,10 @@ DRIVER_STATS_MAX_ROWS = 50_000_000
 # (e.g. inflate doc_map N), so a marker mismatch forces a clean rebuild.
 LAYOUT_VERSION = 3
 
+# compressed tokens-checkpoint bytes fed to ONE merge task (sizes p2);
+# ~4 MB compressed ≈ 50-100 MB of flat posting arrays in the worker
+SEG_TASK_TOKEN_BYTES = 4 << 20
+
 
 @dataclass
 class IndexMeta:
@@ -333,7 +337,11 @@ def _pack_partition_fn(n_buckets: int, with_positions: bool = False,
         # composite int key: (shard, bucket, term-code), doc_id tiebreak
         sb = shard_flat.astype(np.int64) * n_buckets + bucket_of[codes]
         skey = sb * n_uniq + codes
-        order = np.lexsort((ids_flat, skey))
+        # group identity only — ids stay in arrival order within each run
+        # (the merge phase globally sorts by (term, shard, doc_id) anyway,
+        # so sorting ids here would sort every posting twice; and no
+        # stability needed, so introsort's cheaper passes win)
+        order = np.argsort(skey)
         skey = skey[order]
         sb_s = skey // n_uniq
         codes_s = codes[order]
@@ -457,11 +465,13 @@ def _merge_partition_fn(avgdl: float, with_positions: bool = False):
         # FLAT layout: rows are concatenated in pdf order, runs in row order,
         # postings in run order — so b"".join of the payload columns yields
         # posting-aligned flat arrays directly, no per-run views needed.
+        # int32 payloads stay int32 through the gather (half the memory
+        # traffic); the codec upcasts once on contiguous arrays
         ids_flat = np.frombuffer(b"".join(pdf["docids"]), dtype=np.int64)
-        tfs_flat = np.frombuffer(b"".join(pdf["tfs"]), dtype=np.int32).astype(np.int64)
-        dls_flat = np.frombuffer(b"".join(pdf["doclens"]), dtype=np.int32).astype(np.int64)
+        tfs_flat = np.frombuffer(b"".join(pdf["tfs"]), dtype=np.int32)
+        dls_flat = np.frombuffer(b"".join(pdf["doclens"]), dtype=np.int32)
         pos_flat = (
-            np.frombuffer(b"".join(pdf["positions"]), dtype=np.int32).astype(np.int64)
+            np.frombuffer(b"".join(pdf["positions"]), dtype=np.int32)
             if with_positions else None
         )
         shard_run = np.repeat(pdf["shard"].to_numpy(np.int64), runs_per_row)
@@ -472,7 +482,19 @@ def _merge_partition_fn(avgdl: float, with_positions: bool = False):
         # spent its wall in interpreter overhead and small-array churn)
         S = np.int64(int(shard_run.max()) + 1)
         gkey_post = np.repeat(codes.astype(np.int64) * S + shard_run, tn)
-        order = np.lexsort((ids_flat, gkey_post))
+        # (group, doc_id) keys are UNIQUE, so a single unstable argsort on a
+        # composite key replaces lexsort's two stable mergesort passes —
+        # roughly half the sort bandwidth, which is the contended resource
+        # when 8+ workers run this concurrently. Falls back to lexsort when
+        # the composite would overflow int64 (huge doc_ids x many groups).
+        span = np.int64(int(ids_flat.max()) + 1) if ids_flat.size else np.int64(1)
+        n_groups_bound = np.int64(uniques.size) * S
+        if ids_flat.size and int(ids_flat.min()) >= 0 and (
+            int(n_groups_bound) < (2**63) // int(span)
+        ):
+            order = np.argsort(gkey_post * span + ids_flat)
+        else:
+            order = np.lexsort((ids_flat, gkey_post))
         ids, tfs, dls, pos = _permute(ids_flat, tfs_flat, dls_flat, pos_flat, order)
         gkey_s = gkey_post[order]
         starts, ends = _group_bounds(gkey_s)
@@ -514,13 +536,16 @@ def _merge_partition_fn(avgdl: float, with_positions: bool = False):
 
 def _permute(ids, tfs, dls, pos, order):
     """Reorder postings by `order`; position BLOCKS (variable length, tf each)
-    move with their posting via a vectorized block gather."""
+    move with their posting via a vectorized block gather. Offset arithmetic
+    is int64 regardless of the payload dtype (an int32 cumsum would wrap
+    past 2^31 total positions per task)."""
     new_pos = None
     if pos is not None:
-        src_off = np.cumsum(tfs) - tfs
-        ord_tfs = tfs[order]
+        tf64 = tfs.astype(np.int64)
+        src_off = np.cumsum(tf64) - tf64
+        ord_tfs = tf64[order]
         dst_base = np.cumsum(ord_tfs) - ord_tfs
-        within = np.arange(int(tfs.sum()), dtype=np.int64) - np.repeat(dst_base, ord_tfs)
+        within = np.arange(int(tf64.sum()), dtype=np.int64) - np.repeat(dst_base, ord_tfs)
         gather = np.repeat(src_off[order], ord_tfs) + within
         new_pos = pos[gather]
     return ids[order], tfs[order], dls[order], new_pos
@@ -661,7 +686,21 @@ def build_index(
         # to segments/wave=<w>/ AFTER the job commits: a crash anywhere
         # before the lineage row leaves the published tree untouched
         # (re-running the wave is exactly-once).
-        p2 = int(os.environ.get("WISE_SEG_PARTITIONS", "0")) or max(2 * par, 8)
+        #
+        # p2 is sized by the wave's DATA VOLUME, floored by cluster width:
+        # merge cost is superlinear in per-task payload (a task whose flat
+        # posting arrays outgrow the python worker's recycled arena faults
+        # every page; measured 123s -> 47s at 2 cores just from splitting
+        # the same wave 8 -> 16 ways), so per-task input is pinned at a few
+        # MB of compressed tokens regardless of how many executors showed up.
+        wave_bytes = sum(
+            os.path.getsize(os.path.join(dp, fn))
+            for dp, _, fns in os.walk(os.path.join(tokens_path, f"wave={w}"))
+            for fn in fns if fn.endswith(".parquet")
+        )
+        p2 = int(os.environ.get("WISE_SEG_PARTITIONS", "0")) or min(
+            65536, max(2 * par, 8, -(-wave_bytes // SEG_TASK_TOKEN_BYTES))
+        )
         partial = tf.mapInPandas(
             _pack_partition_fn(n_buckets, with_positions=with_positions),
             schema=PARTIAL_SCHEMA,
@@ -673,7 +712,20 @@ def build_index(
         stage_dir = os.path.join(index_dir, f"_wave_stage_{w}")
         _shutil.rmtree(stage_dir, ignore_errors=True)
         t_write0 = time.time()
-        segs.write.mode("overwrite").parquet(stage_dir)
+        # pack tasks get the same bounded-payload treatment as merge tasks:
+        # default 128MB scan splits hand one pack task ~10x the working set
+        # the recycled worker arena holds (split planning happens at action
+        # time, so the conf takes effect for exactly this job)
+        old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+        spark.conf.set("spark.sql.files.maxPartitionBytes",
+                       str(SEG_TASK_TOKEN_BYTES * 4))
+        try:
+            segs.write.mode("overwrite").parquet(stage_dir)
+        finally:
+            if old_mpb is None:
+                spark.conf.unset("spark.sql.files.maxPartitionBytes")
+            else:
+                spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
         t_write = time.time() - t_write0
         t_pub0 = time.time()
         dst = os.path.join(segments_path, f"wave={w}")

@@ -73,12 +73,14 @@ PARTIAL_SCHEMA = (
     "shard int, bucket int, terms string, term_ns binary, docids binary, "
     "tfs binary, doclens binary, positions binary"
 )
-# pack chunk size in flat (doc, term) rows: ~one Arrow batch, ~40 MB peak.
-# Small chunks matter more than dedup here: the FIRST touch of every new
-# arena page costs this kernel dearly (measured: identical pack kernels 38-48s
-# cold vs 5-13s warm purely from faulting a ~300 MB working set), so the
-# kernel must fit in a footprint it can recycle chunk over chunk.
-PACK_CHUNK_TERMS = 400_000
+# pack chunk size in flat (doc, term) rows. Two opposing forces: bigger
+# chunks dedupe head terms harder (fewer partial runs per term -> the merge
+# phase re-factorizes proportionally fewer strings), smaller chunks keep the
+# chunk working set inside the zone where this box's memory system still
+# scales with concurrent workers (measured: 8 pinned argsort+gather procs
+# inflate 1.1x at <=64 MB working sets but 3.4x at 256 MB). 1.6M flat rows
+# ~= 60 MB of sort+gather arrays — the knee of that curve.
+PACK_CHUNK_TERMS = 1_600_000
 SEGMENT_SCHEMA = (
     "term string, shard int, n long, docids binary, tfs binary, doclens binary, "
     "positions binary, blk_last array<long>, blk_max array<double>, "
@@ -483,20 +485,38 @@ def _merge_partition_fn(avgdl: float, with_positions: bool = False):
         S = np.int64(int(shard_run.max()) + 1)
         gkey_post = np.repeat(codes.astype(np.int64) * S + shard_run, tn)
         # (group, doc_id) keys are UNIQUE, so a single unstable argsort on a
-        # composite key replaces lexsort's two stable mergesort passes —
-        # roughly half the sort bandwidth, which is the contended resource
-        # when 8+ workers run this concurrently. Falls back to lexsort when
-        # the composite would overflow int64 (huge doc_ids x many groups).
+        # composite key replaces lexsort's two stable mergesort passes, and
+        # the sorted ids/group-keys fall out ARITHMETICALLY (key % span,
+        # key // span) instead of via extra random gathers — random DRAM
+        # access is the resource 8 concurrent workers contend for. Falls
+        # back to lexsort when the composite would overflow int64 (huge
+        # doc_ids x many groups).
         span = np.int64(int(ids_flat.max()) + 1) if ids_flat.size else np.int64(1)
         n_groups_bound = np.int64(uniques.size) * S
         if ids_flat.size and int(ids_flat.min()) >= 0 and (
             int(n_groups_bound) < (2**63) // int(span)
         ):
-            order = np.argsort(gkey_post * span + ids_flat)
+            key = gkey_post * span + ids_flat
+            order = np.argsort(key)
+            key_s = key[order]
+            gkey_s = key_s // span
+            ids = key_s % span
         else:
             order = np.lexsort((ids_flat, gkey_post))
-        ids, tfs, dls, pos = _permute(ids_flat, tfs_flat, dls_flat, pos_flat, order)
-        gkey_s = gkey_post[order]
+            gkey_s = gkey_post[order]
+            ids = ids_flat[order]
+        # one 8-byte-record gather moves tf+dl together (half the random
+        # accesses of two separate gathers)
+        rec = np.empty(ids_flat.size, dtype=[("tf", "<i4"), ("dl", "<i4")])
+        rec["tf"] = tfs_flat
+        rec["dl"] = dls_flat
+        rec_s = rec[order]
+        tfs = rec_s["tf"]
+        dls = rec_s["dl"]
+        pos = (
+            _permute(ids_flat, tfs_flat, dls_flat, pos_flat, order)[3]
+            if with_positions else None
+        )
         starts, ends = _group_bounds(gkey_s)
         gk = gkey_s[starts]
         out_codes = gk // S

@@ -137,21 +137,28 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
         )
         docs = spark.read.parquet(corpus_path)
         docs.count()  # warm executors + file listing (untimed)
-        # STEADY-STATE measurement (JMH-style): one full-size untimed build
-        # first, then the timed build in the same executors. A long-running
-        # production ingest runs warm; a cold first build here measures this
-        # kernel's pathological first-touch page-fault cost (C2 compilation,
-        # executor heap growth, python arena growth — measured: identical
-        # kernels 4-8x slower on first execution), identically at BOTH
-        # levels, not the engine. Override with SPARK_GRAFT_WARMUP_DOCS.
-        warm_docs = int(os.environ.get("SPARK_GRAFT_WARMUP_DOCS", str(n_docs)))
-        build_index(docs.filter(F.col("doc_id") < warm_docs), warm_dir,
-                    url_col="url", n_shards=32, n_buckets=32, n_waves=2)
-        shutil.rmtree(warm_dir, ignore_errors=True)
+        # STEADY-STATE measurement (JMH-style): one small untimed build
+        # first warms executor JITs and python-worker arenas (a long-running
+        # production ingest runs warm; a cold first build measures this
+        # box's first-touch page-fault cost, identically at BOTH levels,
+        # not the engine). Override with SPARK_GRAFT_WARMUP_DOCS.
+        warm_docs = int(os.environ.get("SPARK_GRAFT_WARMUP_DOCS", "200000"))
+        if warm_docs:
+            build_index(docs.filter(F.col("doc_id") < warm_docs), warm_dir,
+                        url_col="url", n_shards=32, n_buckets=32, n_waves=1)
+            shutil.rmtree(warm_dir, ignore_errors=True)
+
+        def cpu_stat():
+            f = open("/proc/stat").readline().split()
+            return int(f[8]), sum(map(int, f[1:]))
+
+        s0, tot0 = cpu_stat()
         t0 = time.time()
         build_index(docs, idx_dir, url_col="url", n_shards=32, n_buckets=32,
-                    n_waves=2)
+                    n_waves=1)
         build_s = time.time() - t0
+        s1, tot1 = cpu_stat()
+        steal_pct = round(100 * (s1 - s0) / max(1, tot1 - tot0), 2)
         stage_s = {
             f"{r['stage']}:{r['unit']}": round(r["wall_ms"] / 1000, 2)
             for r in spark.read.parquet(os.path.join(idx_dir, "lineage")).collect()
@@ -166,6 +173,7 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
         res = {
             "build_s": round(build_s, 2),
             "docs_per_sec": round(n_docs / build_s, 1),
+            "steal_pct": steal_pct,
             "stage_s": stage_s,
             "query_p50_s": round(statistics.median(lat), 3),
             "query_p99_s": round(sorted(lat)[max(0, int(len(lat) * 0.99) - 1)], 3),
@@ -178,48 +186,74 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
     print(json.dumps(res), flush=True)
 
 
+def _run_one_level(cores: int, n_docs: int, r: int, max_attempts: int = 2):
+    """One scale-worker subprocess, retried on a dead gateway / crash. A
+    failed attempt is LOGGED (stderr tail to our stderr, never embedded in
+    the JSON result) and rerun — a crashed level must not silently become a
+    missing sample."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cores)]
+    if shutil.which("taskset"):
+        # pin the driver process tree; the mini-cluster pins its own
+        # worker to WORKER_CPUS independently
+        cmd = ["taskset", "-c", DRIVER_CPUS] + cmd
+    for attempt in range(max_attempts):
+        p = subprocess.run(
+            cmd, capture_output=True, text=True,
+            env={**os.environ, "SPARK_GRAFT_BENCH_DOCS": str(n_docs)},
+        )
+        line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else ""
+        if p.returncode == 0 and line:
+            try:
+                res = json.loads(line)
+            except ValueError:
+                log(f"  scaling {cores}-core run{r} attempt{attempt}: bad output")
+                continue
+            log(f"  scaling {cores}-core run{r}: build {res['build_s']}s "
+                f"({res['docs_per_sec']} docs/s, steal {res['steal_pct']}%) "
+                f"p50 {res['query_p50_s']}s")
+            return res
+        log(f"  scaling {cores}-core run{r} attempt{attempt} FAILED "
+            f"(rc={p.returncode}): {p.stderr[-400:]}")
+    return None
+
+
 def run_scaling(n_docs: int, cores_list: list[int]):
     """Each level runs in its own subprocess on the SAME corpus parquet
     (identical job: fixed n_shards/buckets/waves — only executor count
-    varies). Levels are INTERLEAVED (A B A B ...) so a slow ambient period on
-    this shared box penalizes both levels equally; the MEDIAN run is the
-    reported number and every run is shown."""
-    import subprocess
-
+    varies). Runs are INTERLEAVED IN PAIRS (N, 4N, N, 4N, ...) so a slow
+    ambient period on this shared box hits both levels of a pair roughly
+    equally, and the headline scaling efficiency is the MEDIAN of the
+    per-pair ratios (robust to a single noisy pair); per-level medians,
+    every raw sample, and per-run host steal% are all reported."""
     _materialize_corpus(n_docs)
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
     runs_by_level: dict[int, list] = {c: [] for c in cores_list}
+    pairs: list[dict] = []
     for r in range(repeats):
+        pair = {}
         for cores in cores_list:
-            cmd = [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cores)]
-            if shutil.which("taskset"):
-                # pin the driver process tree; the mini-cluster pins its own
-                # worker to WORKER_CPUS independently
-                cmd = ["taskset", "-c", DRIVER_CPUS] + cmd
-            p = subprocess.run(
-                cmd, capture_output=True, text=True,
-                env={**os.environ, "SPARK_GRAFT_BENCH_DOCS": str(n_docs)},
-            )
-            line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else ""
-            if p.returncode != 0 or not line:
-                log(f"  scaling {cores}-core run{r} FAILED: {p.stderr[-500:]}")
-                continue
-            res = json.loads(line)
-            log(f"  scaling {cores}-core run{r}: build {res['build_s']}s "
-                f"({res['docs_per_sec']} docs/s) p50 {res['query_p50_s']}s")
-            runs_by_level[cores].append(res)
+            res = _run_one_level(cores, n_docs, r)
+            if res is not None:
+                runs_by_level[cores].append(res)
+                pair[cores] = res
+        if len(pair) == len(cores_list):
+            pairs.append(pair)
     results = {}
     for cores, runs in runs_by_level.items():
         if not runs:
-            raise RuntimeError(f"scale worker {cores} failed")
+            raise RuntimeError(f"scale worker {cores} failed every attempt")
         med = sorted(runs, key=lambda x: x["docs_per_sec"])[len(runs) // 2]
         med = {**med, "all_docs_per_sec": [x["docs_per_sec"] for x in runs],
+               "all_steal_pct": [x["steal_pct"] for x in runs],
                "best_docs_per_sec": max(x["docs_per_sec"] for x in runs)}
         results[cores] = med
-    return results
+    return results, pairs
 
 
-def write_bench_md(n_docs: int, scaling: dict, effs: dict, effs_best: dict) -> None:
+def write_bench_md(n_docs: int, scaling: dict, effs: dict, effs_best: dict,
+                   effs_pairs: dict | None = None) -> None:
     rows = "\n".join(
         f"| {c} exec cores ({c // EXECUTOR_CORES[c]} executor"
         f"{'s' if c > EXECUTOR_CORES[c] else ''} x {EXECUTOR_CORES[c]}) "
@@ -229,8 +263,9 @@ def write_bench_md(n_docs: int, scaling: dict, effs: dict, effs_best: dict) -> N
     )
     eff_rows = "\n".join(
         f"- **{k.replace('_to_', ' -> ')} executor cores: "
-        f"median scaling efficiency {v:.3f}** "
-        f"(best-run-vs-best-run: {effs_best.get(k, 0):.3f} — the least-"
+        f"median per-pair scaling efficiency {v:.3f}** "
+        f"(all interleaved pairs: {(effs_pairs or {}).get(k, [])}; "
+        f"best-run-vs-best-run: {effs_best.get(k, 0):.3f} — the least-"
         f"contended sample of the same fixed job at each level)"
         for k, v in effs.items()
     )
@@ -258,11 +293,17 @@ stats) over the identical deterministic synthetic corpus parquet
 * the worker — and the executor JVMs and python UDF workers it spawns,
   which inherit its affinity — pinned to N vs 4N CPUs (1 executor vs 4
   executors of equal size);
-* each level in its own subprocess (fresh JVMs), 3 runs, median reported
-  (the sandbox has noisy neighbors; all runs shown);
-* only executor count changes: fixed n_shards=32, n_buckets=32, n_waves=2;
-  shuffle partitions scale 2x executor cores exactly as a cluster resize
-  would.
+* each level in its own subprocess (fresh JVMs), levels interleaved in
+  PAIRS (N, 4N, N, 4N, ...) and the headline efficiency is the median of
+  per-pair ratios — ambient noise on this shared box (run-to-run spread can
+  reach 2x with near-zero steal%) hits both halves of a pair roughly
+  equally, which ratio-of-medians does not guarantee; all raw samples and
+  per-run host steal% are shown;
+* a crashed worker (dead Py4J gateway) is detected, logged to stderr and
+  retried — never silently dropped or embedded in results;
+* only executor count changes: fixed n_shards=32, n_buckets=32, n_waves=1,
+  data-sized merge-task count; shuffle partitions scale 2x executor cores
+  exactly as a cluster resize would.
 
 Query latency is block-max WAND top-10 over the 20-query reference set on
 the cached index.
@@ -308,16 +349,20 @@ def main() -> None:
 
     log(f"== scaling: index build over {n_docs} synthetic docs ==")
     cores_list = [int(c) for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(",")]
-    scaling = run_scaling(n_docs, cores_list)
-    effs, effs_best = {}, {}
+    scaling, pairs = run_scaling(n_docs, cores_list)
+    effs, effs_best, effs_pairs = {}, {}, {}
     for lo, hi in zip(cores_list, cores_list[1:]):
-        effs[f"{lo}_to_{hi}"] = round(
-            (scaling[hi]["docs_per_sec"] / scaling[lo]["docs_per_sec"]) / (hi / lo), 3
+        key = f"{lo}_to_{hi}"
+        per_pair = sorted(
+            (p[hi]["docs_per_sec"] / p[lo]["docs_per_sec"]) / (hi / lo)
+            for p in pairs if lo in p and hi in p
         )
-        effs_best[f"{lo}_to_{hi}"] = round(
+        effs_pairs[key] = [round(x, 3) for x in per_pair]
+        effs[key] = round(per_pair[len(per_pair) // 2], 3) if per_pair else 0.0
+        effs_best[key] = round(
             (scaling[hi]["best_docs_per_sec"] / scaling[lo]["best_docs_per_sec"]) / (hi / lo), 3
         )
-    write_bench_md(n_docs, scaling, effs, effs_best)
+    write_bench_md(n_docs, scaling, effs, effs_best, effs_pairs)
 
     total = round(time.time() - t_all0, 2)
     lo, hi = min(scaling), max(scaling)
@@ -328,12 +373,15 @@ def main() -> None:
         "queries": headline,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "scaling_docs": n_docs,
-        "scaling_mode": "standalone mini-cluster, pinned driver + pinned executors, median of 3",
+        "scaling_mode": ("standalone mini-cluster, pinned driver + pinned "
+                         "executors, interleaved pairs, median-of-pair efficiencies"),
         "scaling_build_docs_per_sec": {str(c): r["docs_per_sec"] for c, r in scaling.items()},
         "scaling_build_docs_per_sec_runs": {str(c): r["all_docs_per_sec"] for c, r in scaling.items()},
+        "scaling_steal_pct_runs": {str(c): r["all_steal_pct"] for c, r in scaling.items()},
         "scaling_query_p50_s": scaling[hi]["query_p50_s"],
         "scaling_query_p99_s": scaling[hi]["query_p99_s"],
         "scaling_efficiency": effs,
+        "scaling_efficiency_pairs": effs_pairs,
         "scaling_efficiency_best": effs_best,
         "total_bench_s": total,
     }

@@ -69,10 +69,17 @@ def main() -> None:
                         url_col="url", n_shards=32, n_buckets=32,
                         n_waves=n_waves)
             shutil.rmtree(warm_dir, ignore_errors=True)
+        def cpu_stat():
+            f = open("/proc/stat").readline().split()
+            return int(f[8]), sum(map(int, f[1:]))
+
+        s0, tot0 = cpu_stat()
         t0 = time.time()
         build_index(docs, idx_dir, url_col="url", n_shards=32, n_buckets=32,
                     n_waves=n_waves)
         build_s = time.time() - t0
+        s1, tot1 = cpu_stat()
+        steal_pct = round(100 * (s1 - s0) / max(1, tot1 - tot0), 2)
         stage_s = {
             f"{r['stage']}:{r['unit']}": round(r["wall_ms"] / 1000, 2)
             for r in spark.read.parquet(os.path.join(idx_dir, "lineage")).collect()
@@ -88,6 +95,7 @@ def main() -> None:
         "waves": n_waves,
         "build_s": round(build_s, 2),
         "docs_per_sec": round(n_docs / build_s, 1),
+        "steal_pct": steal_pct,
         "stage_s": stage_s,
     }), flush=True)
 

@@ -76,11 +76,11 @@ PARTIAL_SCHEMA = (
 # pack chunk size in flat (doc, term) rows. Two opposing forces: bigger
 # chunks dedupe head terms harder (fewer partial runs per term -> the merge
 # phase re-factorizes proportionally fewer strings), smaller chunks keep the
-# chunk working set inside the zone where this box's memory system still
-# scales with concurrent workers (measured: 8 pinned argsort+gather procs
-# inflate 1.1x at <=64 MB working sets but 3.4x at 256 MB). 1.6M flat rows
-# ~= 60 MB of sort+gather arrays — the knee of that curve.
-PACK_CHUNK_TERMS = 1_600_000
+# chunk working set — ~35 MB of python term strings plus ~25 MB of posting
+# arrays at 400k rows — inside the zone where this box's memory system
+# still scales with concurrent workers (measured: 8 pinned argsort+gather
+# procs inflate 1.1x at <=64 MB working sets but 3.4x at 256 MB).
+PACK_CHUNK_TERMS = int(os.environ.get("WISE_PACK_CHUNK", "400000"))
 SEGMENT_SCHEMA = (
     "term string, shard int, n long, docids binary, tfs binary, doclens binary, "
     "positions binary, blk_last array<long>, blk_max array<double>, "

@@ -63,16 +63,29 @@ class TokenizedCorpus:
         text_col: str = "text",
         cache: bool = False,
     ) -> "TokenizedCorpus":
-        tf = tokens_with_tf(docs, id_col, text_col)
-        if cache:
-            tf = tf.cache()
-        # doc lengths from the tokenizer (not the raw doc table) so empty-token
-        # docs still count toward N with doclen 0
+        # ONE tokenize pass: explode_outer keeps a null-term row per
+        # empty-token doc, so exact N/avgdl fall out of the same grouped
+        # relation that serves queries — and the stats action below is what
+        # materializes the cache, so queries never re-run the tokenizer
+        # (the previous separate doc-length scan tokenized the corpus twice)
         tokenize = tokenize_udf()
-        lens = docs.select(F.size(tokenize(F.col(text_col))).alias("doclen"))
-        row = lens.agg(
-            F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl")
-        ).collect()[0]
+        toks = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            tokenize(F.col(text_col)).alias("toks"),
+        ).withColumn("doclen", F.size("toks"))
+        tf_all = (
+            toks.select("doc_id", "doclen", F.explode_outer("toks").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"), F.first("doclen").alias("doclen"))
+        )
+        if cache:
+            tf_all = tf_all.cache()
+        row = (
+            tf_all.groupBy("doc_id").agg(F.first("doclen").alias("doclen"))
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl"))
+            .collect()[0]
+        )
+        tf = tf_all.filter(F.col("term").isNotNull())
         return cls(tf=tf, n_docs=int(row["n"]), avgdl=float(row["avgdl"] or 0.0))
 
 

@@ -100,3 +100,53 @@ def test_imported_metadata_searchable(spark, meta_csv, docs):
     )
     hits = naive_topk(corpus, "gamma", k=5, mode="any").collect()
     assert [r["doc_id"] for r in hits] == [1]
+
+
+def test_unparseable_time_rejected(spark, docs, tmp_path):
+    """A non-null time string that fails to parse must REJECT the row, not
+    pass it as valid with NULL times (reference raises:
+    /root/reference/metadata.py:277-288)."""
+    path = os.path.join(tmp_path, "bad_time.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["metadata_id", "filename", "starttime", "stoptime", "tag"])
+        w.writerows([
+            ("ok", "1", "5", "30", "fine"),
+            ("bad1", "2", "abc", "30", "junk start"),
+            ("bad2", "3", "5", "1:xx:05", "junk stop"),
+        ])
+    res = import_metadata_csv(
+        spark, path, docs, key_col="doc_id", limit_col="n_chars",
+        metadata_cols=["tag"],
+    )
+    assert {r["__metadata_id"] for r in res["valid"].collect()} == {"ok"}
+    rejects = {r["__metadata_id"]: r["reject_reason"]
+               for r in res["rejects"].collect()}
+    assert rejects == {"bad1": "unparseable_time", "bad2": "unparseable_time"}
+
+
+def test_template_column_composition(spark, tmp_path):
+    """'{dir}/{file}.MP4'-style key templates compose from CSV columns
+    (reference get_csv_row_col_value, /root/reference/metadata.py:263-268)."""
+    path = os.path.join(tmp_path, "tmpl.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["metadata_id", "dir", "file", "starttime", "stoptime"])
+        w.writerows([
+            ("t0", "vids", "a", "1", "2"),
+            ("t1", "vids", "b", "2", "3"),
+            ("t2", "vids", "zzz", "0", "1"),   # composed key not in docs
+        ])
+    docs = spark.createDataFrame(
+        [("vids/a.MP4", 100.0), ("vids/b.MP4", 100.0)],
+        "path string, dur double",
+    )
+    res = import_metadata_csv(
+        spark, path, docs, key_col="path", limit_col="dur",
+        col_key="{dir}/{file}.MP4",
+    )
+    valid = {r["__metadata_id"]: r["__key"] for r in res["valid"].collect()}
+    assert valid == {"t0": "vids/a.MP4", "t1": "vids/b.MP4"}
+    rejects = {r["__metadata_id"]: r["reject_reason"]
+               for r in res["rejects"].collect()}
+    assert rejects == {"t2": "missing_key"}

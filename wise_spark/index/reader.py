@@ -272,23 +272,38 @@ class FtsIndex:
                 for i, t in enumerate(seq):
                     ids, tfs, dls = decode_postings(rows[t])
                     pos = decode_positions(bytes(rows[t]["positions"]), tfs)
-                    k = np.repeat(ids, tfs) * (1 << 32) + pos - i
                     if i == 0:
                         ids0, dls0 = ids, dls
+                        codes = np.arange(ids.size, dtype=np.int64)
+                        valid = np.ones(ids.size, dtype=bool)
+                    else:
+                        # doc_ids are int64 (10^12-doc target: ids exceed
+                        # 2^31, so ids * 2^32 + pos would overflow int64).
+                        # Map ids to LOCAL dense codes in term 0's sorted
+                        # list — every phrase match contains term 0, so docs
+                        # outside it can be dropped before keying, and the
+                        # composite (code, pos) key always fits:
+                        # code < |list_0| < 2^31, pos < 2^32.
+                        idx = np.searchsorted(ids0, ids)
+                        idx_c = np.minimum(idx, ids0.size - 1)
+                        valid = ids0[idx_c] == ids
+                        codes = idx_c
+                    vmask = np.repeat(valid, tfs) & (pos >= i)
+                    k = (np.repeat(codes, tfs)[vmask] << np.int64(32)) + pos[vmask] - i
                     keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
                     if keys.size == 0:
                         break
                 if keys is None or keys.size == 0:
                     continue
-                doc = (keys >> 32).astype(np.int64)
-                uniq_doc, counts = np.unique(doc, return_counts=True)
+                code = (keys >> 32).astype(np.int64)
+                uniq_code, counts = np.unique(code, return_counts=True)
                 yield pd.DataFrame(
                     {
-                        "doc_id": uniq_doc,
+                        "doc_id": ids0[uniq_code],
                         "tf": counts.astype(np.int64),
-                        # doclen via sorted lookup in the first term's list
-                        # (every match contains term 0)
-                        "doclen": dls0[np.searchsorted(ids0, uniq_doc)],
+                        # doclen via the same local code (every match
+                        # contains term 0)
+                        "doclen": dls0[uniq_code],
                     }
                 )
 
@@ -303,8 +318,12 @@ class FtsIndex:
         (tiny relation), then score + TakeOrderedAndProject."""
         from ..query.bm25 import idf_scalar, tf_component_col
 
-        matches = self.phrase_matches(phrase)
-        matches.persist()
+        # localCheckpoint (not persist): the matches relation is needed by
+        # two actions (df count + scoring) but must not pin executor storage
+        # for the life of the session — checkpoint blocks are freed by the
+        # ContextCleaner as soon as the result DataFrame is dropped, whereas
+        # a persist() with no unpersist() accumulates across queries.
+        matches = self.phrase_matches(phrase).localCheckpoint(eager=True)
         df_phrase = matches.count()
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         if df_phrase == 0:

@@ -36,17 +36,43 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 PREFIX = "__"
 
 
+def col_or_template(spec: str) -> F.Column:
+    """A column spec that contains {name} placeholders composes a derived
+    column from the named CSV columns (reference:
+    /root/reference/metadata.py:263-268 get_csv_row_col_value, used for
+    e.g. filename templates '{dir}/{file}.MP4'); otherwise it is a plain
+    column reference."""
+    import re
+
+    if "{" in spec and "}" in spec:
+        names = re.findall(r"\{(\w+)\}", spec)
+        fmt = re.sub(r"\{\w+\}", "%s", spec).replace("%%", "%%")
+        return F.format_string(fmt, *[F.col(n) for n in names])
+    return F.col(spec)
+
+
+def _spec_columns(spec: str) -> list[str]:
+    import re
+
+    if "{" in spec and "}" in spec:
+        return re.findall(r"\{(\w+)\}", spec)
+    return [spec]
+
+
 def time2sec_col(c) -> F.Column:
-    """'HH:MM:SS(.f)' | 'MM:SS' | plain seconds -> double seconds (JVM-side)."""
+    """'HH:MM:SS(.f)' | 'MM:SS' | plain seconds -> double seconds (JVM-side).
+    try_cast (not cast): malformed fields become NULL — the import layer
+    turns those into 'unparseable_time' rejects instead of an ANSI-mode
+    job abort on the first bad row."""
     parts = F.split(c, ":")
     n = F.size(parts)
-    h = F.element_at(parts, 1).cast("double")
-    m = F.element_at(parts, 2).cast("double")
-    s = F.element_at(parts, 3).cast("double")
+    h = F.element_at(parts, 1).try_cast("double")
+    m = F.element_at(parts, 2).try_cast("double")
+    s = F.element_at(parts, 3).try_cast("double")
     return (
         F.when(n == 3, h * 3600 + m * 60 + s)
         .when(n == 2, h * 60 + m)
-        .otherwise(c.cast("double"))
+        .otherwise(c.try_cast("double"))
     )
 
 
@@ -71,18 +97,21 @@ def import_metadata_csv(
     """
     metadata_cols = metadata_cols or []
     raw = spark.read.option("header", True).csv(csv_path)
-    for c in (col_key, col_id, *(x for x in (col_start, col_stop) if x)):
-        if c not in raw.columns:
-            raise ValueError(f"CSV is missing required column {c!r}")
+    for spec in (col_key, col_id, *(x for x in (col_start, col_stop) if x)):
+        for c in _spec_columns(spec):
+            if c not in raw.columns:
+                raise ValueError(f"CSV is missing required column {c!r}")
     key_type = dict(docs.dtypes)[key_col]
     sel = [
-        F.col(col_id).alias(f"{PREFIX}metadata_id"),
-        F.col(col_key).cast(key_type).alias(f"{PREFIX}key"),
+        col_or_template(col_id).alias(f"{PREFIX}metadata_id"),
+        col_or_template(col_key).try_cast(key_type).alias(f"{PREFIX}key"),
     ]
     if col_start:
-        sel.append(time2sec_col(F.col(col_start)).alias(f"{PREFIX}starttime"))
+        sel.append(time2sec_col(col_or_template(col_start)).alias(f"{PREFIX}starttime"))
+        sel.append(col_or_template(col_start).alias(f"{PREFIX}src_start"))
     if col_stop:
-        sel.append(time2sec_col(F.col(col_stop)).alias(f"{PREFIX}stoptime"))
+        sel.append(time2sec_col(col_or_template(col_stop)).alias(f"{PREFIX}stoptime"))
+        sel.append(col_or_template(col_stop).alias(f"{PREFIX}src_stop"))
     sel += [F.col(c) for c in metadata_cols]
     meta = raw.select(*sel)
 
@@ -97,6 +126,16 @@ def import_metadata_csv(
         F.col(f"{PREFIX}key").isNull() | F.col(f"{PREFIX}matched").isNull(),
         F.lit("missing_key"),
     )
+    # a non-null source time that casts to NULL is a REJECT, not a silently
+    # valid row with NULL times (the reference raises on unparseable
+    # timestamps, /root/reference/metadata.py:277-288)
+    for src, parsed in ((f"{PREFIX}src_start", f"{PREFIX}starttime"),
+                        (f"{PREFIX}src_stop", f"{PREFIX}stoptime")):
+        if (col_start if "start" in src else col_stop):
+            reason = reason.when(
+                F.col(src).isNotNull() & F.col(parsed).isNull(),
+                F.lit("unparseable_time"),
+            )
     if limit_col and col_start and col_stop:
         reason = reason.when(
             (F.col(f"{PREFIX}starttime") < 0)
@@ -106,7 +145,7 @@ def import_metadata_csv(
         )
     flagged = joined.withColumn("reject_reason", reason)
 
-    out_cols = [c for c in meta.columns]
+    out_cols = [c for c in meta.columns if not c.startswith(f"{PREFIX}src_")]
     valid = flagged.filter(F.col("reject_reason").isNull()).select(*out_cols)
     rejects = flagged.filter(F.col("reject_reason").isNotNull()).select(
         *out_cols, "reject_reason"

@@ -117,11 +117,11 @@ def _get_index(spark: SparkSession, sf_dir: str):
     from wise_spark.index import FtsIndex, build_index
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), f"wise_idx_v2_{key}")
+    d = os.path.join(tempfile.gettempdir(), f"wise_idx_v3_{key}")
     if not os.path.exists(os.path.join(d, "meta.json")):
-        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-        build_index(docs, d, n_shards=8, n_buckets=8, n_salts=2, n_waves=2,
-                    with_positions=True)
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+        build_index(docs, d, url_col="source", n_shards=8, n_buckets=8,
+                    n_salts=2, n_waves=2, with_positions=True)
     return FtsIndex.load(spark, d)
 
 
@@ -147,6 +147,23 @@ def q_ft_bm25_wand(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(50)
     )
+
+
+def q_ft_hydrate(spark, sf_dir):
+    """Top-k hits joined back to doc_map metadata via FtsIndex.hydrate —
+    the reference's FTS rowid join-back
+    (/root/reference/src/index/sqlite_search_index.py:110-113)."""
+    _ship(spark)
+    idx = _get_index(spark, sf_dir)
+    hits = idx.topk(" ".join(_Q1), k=100, mode="any", method="wand")
+    hits = (
+        hits.withColumn("score", F.round("score", 9))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+    return idx.hydrate(hits).select(
+        "doc_id", F.col("url").alias("src"), "score"
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
 
 
 def _bm25_topk_sql(terms, k, mode):
@@ -323,9 +340,12 @@ def q_dedup_exact(spark, sf_dir):
 def q_dedup_ngram_jaccard(spark, sf_dir):
     from wise_spark.pipeline import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), n=3, threshold=0.5).orderBy(
-        "doc_a", "doc_b"
-    )
+    # max_shingle_df=None: EXACT quadratic semantics to mirror the DuckDB
+    # oracle; the pipeline default is a finite hot-shingle cap (scale trap
+    # otherwise — see ngram_jaccard_pairs docstring)
+    return ngram_jaccard_pairs(
+        _docs_with_dups(spark, sf_dir), n=3, threshold=0.5, max_shingle_df=None
+    ).orderBy("doc_a", "doc_b")
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -694,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk_any": q_ft_bm25_topk_any,
         "ft_bm25_topk_all": q_ft_bm25_topk_all,
         "ft_bm25_wand": q_ft_bm25_wand,
+        "ft_hydrate": q_ft_hydrate,
         "ft_bm25_wand_all": q_ft_bm25_wand_all,
         "ft_parsed_and": q_ft_parsed_and,
         "ft_phrase": q_ft_phrase,
@@ -739,6 +760,16 @@ def oracle_sql() -> dict[str, str]:
     sqls["ft_bm25_topk_all"] = _bm25_topk_sql(_Q2, 50, "all")
     sqls["ft_bm25_wand"] = _bm25_topk_sql(_Q1, 50, "any")
     sqls["ft_bm25_wand_all"] = _bm25_topk_sql(_Q2, 50, "all")
+    sqls["ft_hydrate"] = f"""
+WITH {_TOK_CTE}, {_bm25_score_cte(_Q1, "s")},
+topk AS (
+  SELECT doc_id, round(score, 9) AS score FROM s
+  ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 20
+)
+SELECT t.doc_id, d.source AS src, t.score
+FROM topk t JOIN documents d USING (doc_id)
+ORDER BY t.score DESC, t.doc_id ASC
+"""
     sqls["ft_parsed_and"] = f"""
 WITH {_TOK_CTE}, {_bm25_score_cte(["spark"], "sa")}, {_bm25_score_cte(["merge"], "sb")}
 SELECT sa.doc_id, round(sa.score + sb.score, 9) AS score

@@ -169,3 +169,25 @@ def test_quality_and_langid(small_docs):
     assert abs(q.loc[0, "stopword_ratio"] - 2 / 9) < 1e-6  # 'the' twice
     lg = lang_guess(small_docs).toPandas().set_index("doc_id")
     assert lg.loc[0, "lang_guess"] == "en"
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """The pipeline-default hot-shingle cap prunes shingles above the df cap
+    from the self-join: docs that only share BOILERPLATE stay unpaired,
+    docs sharing rare shingles still pair."""
+    from wise_spark.pipeline import ngram_jaccard_pairs
+
+    boiler = "all rights reserved contact us for terms"
+    rows = [(i, f"{boiler} page {i} unique") for i in range(6)]
+    rows += [(10, "rare penguin colony thrives on iceberg nine"),
+             (11, "rare penguin colony thrives on iceberg nine")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {(r["doc_a"], r["doc_b"]) for r in
+              ngram_jaccard_pairs(docs, n=3, threshold=0.3,
+                                  max_shingle_df=3).collect()}
+    assert (10, 11) in capped
+    assert not any(a < 6 and b < 6 for a, b in capped)
+    exact = {(r["doc_a"], r["doc_b"]) for r in
+             ngram_jaccard_pairs(docs, n=3, threshold=0.3,
+                                 max_shingle_df=None).collect()}
+    assert (10, 11) in exact and any(a < 6 and b < 6 for a, b in exact)

@@ -142,3 +142,26 @@ def test_implicit_target_flag():
     assert p.subqueries[0].implicit_target is True
     p2 = parse_query("cooking in video", TARGETS)
     assert p2.subqueries[0].implicit_target is False
+
+
+def test_page_slice_semantics(spark):
+    """page() mirrors the reference /search paging contract
+    (/root/reference/api/routes.py:1214-1216,1377-1381)."""
+    import pytest
+
+    from wise_spark.query.search import page
+
+    scores = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(50)], "doc_id long, score double"
+    )
+    rows = page(scores, start=5, end=10).orderBy("rank").collect()
+    assert [r["doc_id"] for r in rows] == [5, 6, 7, 8, 9]
+    assert [r["rank"] for r in rows] == [5, 6, 7, 8, 9]
+    # end clamps to result size implicitly (fewer rows than requested)
+    assert page(scores, start=40, end=100).count() == 10
+    with pytest.raises(ValueError):
+        page(scores, start=981, end=1000)
+    with pytest.raises(ValueError):
+        page(scores, start=0, end=1001)
+    with pytest.raises(ValueError):
+        page(scores, start=30, end=20)

@@ -53,21 +53,41 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
     )
 
 
+DEFAULT_MAX_SHINGLE_DF = 10_000
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Near-dup pairs (doc_a < doc_b, jaccard) with shingle-set Jaccard >=
-    threshold. Exact when max_shingle_df is None."""
+    threshold.
+
+    The shingle self-join fans out quadratically in a shingle's document
+    frequency, so the DEFAULT caps it: shingles appearing in more than
+    `max_shingle_df` docs are dropped from both the join and the set sizes
+    (a boilerplate shingle shared by 1% of a 10^12-doc corpus would
+    otherwise emit 10^19 candidate pairs). The number of dropped shingles
+    is logged. Pass max_shingle_df=None for the exact quadratic semantics
+    (small corpora / oracle checks only)."""
     sh = shingles(docs, n, id_col, text_col)
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf")).filter(
             F.col("sdf") > max_shingle_df
-        )
+        ).cache()
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: dropped %d shingles with df > %d "
+                "(pairs among ONLY-hot-shingle docs are not reported)",
+                n_hot, max_shingle_df,
+            )
         sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")

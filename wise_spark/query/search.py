@@ -77,6 +77,27 @@ def ranked(result: SearchResult, k: int | None = None) -> DataFrame:
     return global_ranked(result)
 
 
+MAX_PAGE_END = 1000    # reference /root/reference/api/routes.py:1216 (le=1000)
+MAX_PAGE_START = 980   # reference routes.py:1215 (le=980)
+
+
+def page(result: SearchResult, start: int = 0, end: int = 20) -> DataFrame:
+    """Result slice [start, end) with the reference's /search paging
+    contract (/root/reference/api/routes.py:1214-1216,1377-1381):
+    0 <= start <= 980, 0 < end <= 1000, start <= end (after clamping end to
+    the result size the reference 400s on start > end — here ValueError).
+
+    One TakeOrderedAndProject of `end` rows (end <= 1000, driver-tiny),
+    then the slice by rank — no global sort, no unbounded window."""
+    if not (0 <= start <= MAX_PAGE_START):
+        raise ValueError(f"'start' must be in [0, {MAX_PAGE_START}]")
+    if not (0 < end <= MAX_PAGE_END):
+        raise ValueError(f"'end' must be in (0, {MAX_PAGE_END}]")
+    if start > end:
+        raise ValueError("'start' cannot be greater than 'end'")
+    return ranked(result, k=end).filter(F.col("rank") >= start)
+
+
 def global_ranked(result: SearchResult, num_partitions: int | None = None) -> DataFrame:
     """Global rank over an UNBOUNDED result without a single-partition window.
 

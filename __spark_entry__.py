@@ -331,6 +331,33 @@ _DUP_SQL = (
 )
 
 
+def q_ingest_extract_text(spark, sf_dir):
+    """S3 invariant driver-checked: deterministic HTML synthesized around
+    each document's text, run through the REAL stdlib-pinned extractor
+    (wise_spark.analyzer.html — the engine's 'media decode',
+    /root/reference/src/dataloader/dataset.py:213-336 analog); the oracle
+    reproduces the extraction contract (entity decode, whitespace collapse,
+    block join) in pure SQL."""
+    from wise_spark.analyzer.html import extract_text_udf
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    esc = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace("text", "&", "&amp;"), "<", "&lt;"),
+        ">", "&gt;",
+    )
+    html = F.concat(
+        F.lit("<html><head><script>var x = 1;</script><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><nav>menu home</nav><p>"),
+        esc,
+        F.lit("</p></body></html>"),
+    ).cast("binary")
+    return docs.select(
+        "doc_id", extract_text_udf()(html).alias("extracted")
+    ).orderBy("doc_id")
+
+
 def q_dedup_exact(spark, sf_dir):
     from wise_spark.pipeline import exact_duplicates
 
@@ -724,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_corpus_stats": q_ft_corpus_stats,
         "ft_term_df": q_ft_term_df,
         "ft_doc_lengths": q_ft_doc_lengths,
+        "ingest_extract_text": q_ingest_extract_text,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -840,6 +868,17 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 50
     sqls["ft_doc_lengths"] = f"""
 SELECT doc_id, CAST(len({_TOK_SQL}) AS BIGINT) AS doclen FROM documents
 ORDER BY doc_id
+"""
+    sqls["ingest_extract_text"] = """
+WITH t AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS collapsed
+  FROM documents WHERE doc_id < 500
+)
+SELECT doc_id,
+       CASE WHEN collapsed = '' THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+            ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || collapsed
+       END AS extracted
+FROM t ORDER BY doc_id
 """
     sqls["dedup_exact"] = f"""
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keeper_doc_id

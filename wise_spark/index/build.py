@@ -648,8 +648,19 @@ def build_index(
     if not (resume and _done(doc_map_path)):
         t0 = time.time()
         cols = ["doc_id", "doclen"] + (["url"] if url_col else [])
-        dm = spark.read.parquet(tokens_path).select(*cols)
-        dm.write.mode("overwrite").parquet(doc_map_path)
+        # small splits: the projection reads 3 thin columns of a fat
+        # checkpoint — default 128MB splits leave most executor slots idle
+        old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+        spark.conf.set("spark.sql.files.maxPartitionBytes",
+                       str(SEG_TASK_TOKEN_BYTES * 4))
+        try:
+            dm = spark.read.parquet(tokens_path).select(*cols)
+            dm.write.mode("overwrite").parquet(doc_map_path)
+        finally:
+            if old_mpb is None:
+                spark.conf.unset("spark.sql.files.maxPartitionBytes")
+            else:
+                spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
         _append_lineage(
             spark, index_dir,
             [("doc_map", "-", "done", 0, 0, int((time.time() - t0) * 1000))],

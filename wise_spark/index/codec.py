@@ -29,24 +29,40 @@ _THRESH = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
 
 
 def _vb_encode_arr(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized varbyte: (byte buffer, per-value END byte offsets)."""
+    """Vectorized varbyte: (byte buffer, per-value END byte offsets).
+
+    This is the single hottest loop of the whole index build (every posting
+    passes through it 3x: gaps/tfs/doclens), so the pass count is bounded
+    by the BATCH MAX, not the format max: a batch whose values all fit one
+    byte (typical for tfs) costs exactly one astype; threshold compares and
+    the byte-plane scatter loop run only up to bytes-needed(max).
+    Byte-identical output to the reference 10-pass formulation."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    vmax = int(v.max())
+    if vmax < 0x80:  # whole batch single-byte: no offsets math, no scatter
+        return v.astype(np.uint8), np.arange(1, v.size + 1, dtype=np.int64)
+    maxb = 1
+    while maxb < 10 and vmax >= (1 << (7 * maxb)):
+        maxb += 1
     nbytes = np.ones(v.shape, dtype=np.int64)
-    for t in _THRESH:
-        nbytes += (v >= t).astype(np.int64)
+    for t in _THRESH[:maxb - 1]:
+        nbytes += (v >= t)
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
-    out = np.zeros(int(ends[-1]), dtype=np.uint8)
-    for j in range(10):
+    # np.empty is safe: positions {starts[i]+j, j<nbytes[i]} tile the buffer
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
+    # byte plane 0 exists for EVERY value — write it unmasked
+    out[starts] = (v & _U64(0x7F)).astype(np.uint8) | (
+        (nbytes > 1).astype(np.uint8) << 7
+    )
+    for j in range(1, maxb):
         mask = nbytes > j
-        if not mask.any():
-            break
         idx = starts[mask] + j
-        chunk = (v[mask] >> _U64(7 * j)).astype(np.uint64) & _U64(0x7F)
+        chunk = ((v[mask] >> _U64(7 * j)) & _U64(0x7F)).astype(np.uint8)
         cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
-        out[idx] = chunk.astype(np.uint8) | cont
+        out[idx] = chunk | cont
     return out, ends
 
 

@@ -175,6 +175,34 @@ ORDER BY round(score, 9) DESC, doc_id ASC LIMIT {k}
 """
 
 
+def q_ft_page(spark, sf_dir):
+    """Reference /search pagination slice (start=10, end=30) over the naive
+    BM25 scores — rank carried as an explicit column
+    (/root/reference/api/routes.py:1214-1216,1377-1381)."""
+    from wise_spark.query.naive import score_query
+    from wise_spark.query.search import page
+
+    scored = score_query(_ft_corpus(spark, sf_dir), " ".join(_Q1), "any")
+    scored = scored.select("doc_id", F.round("score", 9).alias("score"))
+    return page(scored, start=10, end=30).select(
+        "doc_id", "score", F.col("rank").cast("long").alias("rank")
+    ).orderBy("rank")
+
+
+def q_disp_formats(spark, sf_dir):
+    """Display formatters C2-C4 over event timestamps (reference
+    search.py:551-584)."""
+    from wise_spark.query.display import clamp_str_col, to_hhmmss_col
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    sec = F.col("value") * 1000.0
+    return ev.select(
+        "event_id",
+        to_hhmmss_col(sec).alias("hhmmss"),
+        clamp_str_col(F.col("event_type"), 4).alias("etype_clamped"),
+    ).orderBy("event_id")
+
+
 def q_ft_not_in(spark, sf_dir):
     from wise_spark.query.naive import score_query
     from wise_spark.query.search import subtract
@@ -742,6 +770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk_all": q_ft_bm25_topk_all,
         "ft_bm25_wand": q_ft_bm25_wand,
         "ft_hydrate": q_ft_hydrate,
+        "ft_page": q_ft_page,
+        "disp_formats": q_disp_formats,
         "ft_bm25_wand_all": q_ft_bm25_wand_all,
         "ft_parsed_and": q_ft_parsed_and,
         "ft_phrase": q_ft_phrase,
@@ -788,6 +818,43 @@ def oracle_sql() -> dict[str, str]:
     sqls["ft_bm25_topk_all"] = _bm25_topk_sql(_Q2, 50, "all")
     sqls["ft_bm25_wand"] = _bm25_topk_sql(_Q1, 50, "any")
     sqls["ft_bm25_wand_all"] = _bm25_topk_sql(_Q2, 50, "all")
+    sqls["ft_page"] = f"""
+WITH {_TOK_CTE}, {_bm25_score_cte(_Q1, "s")},
+r AS (
+  SELECT doc_id, round(score, 9) AS score,
+         row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) - 1 AS rank
+  FROM s
+)
+SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank >= 10 AND rank < 30 ORDER BY rank
+"""
+    sqls["disp_formats"] = """
+WITH e AS (
+  SELECT event_id, event_type, value * 1000.0 AS sec FROM events
+  WHERE event_id < 200
+),
+p AS (
+  SELECT event_id, event_type, sec,
+         CAST(floor(sec / 3600) AS BIGINT) AS hh,
+         sec - CAST(floor(sec / 3600) AS BIGINT) * 3600 AS ds1
+  FROM e
+),
+q AS (
+  SELECT event_id, event_type, hh,
+         CAST(floor(ds1 / 60) AS BIGINT) AS mm,
+         ds1 - CAST(floor(ds1 / 60) AS BIGINT) * 60 AS ds2
+  FROM p
+)
+SELECT event_id,
+       printf('%02d:%02d:%02d.%02d', hh, mm,
+              CAST(floor(ds2) AS BIGINT),
+              CAST(floor((ds2 - CAST(floor(ds2) AS BIGINT)) * 100) AS BIGINT)
+       ) AS hhmmss,
+       CASE WHEN length(event_type) > 4
+            THEN '...' || right(event_type, 4) ELSE event_type
+       END AS etype_clamped
+FROM q ORDER BY event_id
+"""
     sqls["ft_hydrate"] = f"""
 WITH {_TOK_CTE}, {_bm25_score_cte(_Q1, "s")},
 topk AS (

@@ -57,12 +57,21 @@ def _vb_encode_arr(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     out[starts] = (v & _U64(0x7F)).astype(np.uint8) | (
         (nbytes > 1).astype(np.uint8) << 7
     )
-    for j in range(1, maxb):
-        mask = nbytes > j
-        idx = starts[mask] + j
-        chunk = ((v[mask] >> _U64(7 * j)) & _U64(0x7F)).astype(np.uint8)
-        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
-        out[idx] = chunk | cont
+    # byte planes 1..maxb-1 over a SHRINKING candidate set: one full-array
+    # compare total, then each plane only touches values that still have
+    # bytes left (delta-gap batches are dominated by 1-2 byte values with a
+    # handful of long absolutes, so full-array per-plane compares would
+    # re-scan 19M values to find the last 15k)
+    cand = np.flatnonzero(nbytes > 1)
+    j = 1
+    while cand.size:
+        vv = v[cand]
+        nb = nbytes[cand]
+        out[starts[cand] + j] = ((vv >> _U64(7 * j)) & _U64(0x7F)).astype(
+            np.uint8
+        ) | ((nb - 1 > j).astype(np.uint8) << 7)
+        j += 1
+        cand = cand[nb > j]
     return out, ends
 
 

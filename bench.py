@@ -239,15 +239,33 @@ def run_scaling(n_docs: int, cores_list: list[int]):
     for r in range(warmup_pairs):
         for cores in cores_list:
             _run_one_level(cores, n_docs, r - warmup_pairs)
-    for r in range(repeats):
+    # steal-aware sampling: host steal% is DIRECTLY measured around each
+    # timed build (/proc/stat col 8). A pair where either level ran under
+    # > 1% steal is a measurement of the HOST's neighbors, not this engine
+    # (observed: an 8-core run at 4.99% steal builds 4.5x slower than the
+    # same binary at 0.01%); such pairs are logged, kept in the raw-sample
+    # lists, but replaced by a retry pair when the retry budget allows.
+    steal_cap = float(os.environ.get("SPARK_GRAFT_STEAL_CAP_PCT", "1.0"))
+    max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_PAIRS", "3"))
+    attempts = 0
+    r = 0
+    while len(pairs) < repeats and attempts < repeats + max_extra:
+        attempts += 1
         pair = {}
         for cores in cores_list:
             res = _run_one_level(cores, n_docs, r)
             if res is not None:
                 runs_by_level[cores].append(res)
                 pair[cores] = res
-        if len(pair) == len(cores_list):
-            pairs.append(pair)
+        r += 1
+        if len(pair) != len(cores_list):
+            continue
+        worst_steal = max(p["steal_pct"] for p in pair.values())
+        if worst_steal > steal_cap and attempts < repeats + max_extra:
+            log(f"  pair discarded (host steal {worst_steal}% > {steal_cap}%),"
+                " retrying")
+            continue
+        pairs.append(pair)
     results = {}
     for cores, runs in runs_by_level.items():
         if not runs:
@@ -310,6 +328,11 @@ stats) over the identical deterministic synthetic corpus parquet
 * one UNTIMED warmup pair runs first (JMH warmup-iteration practice): the
   first pair after idle consistently measures OS page-cache/JIT cold state,
   identically at both levels but with a wider spread;
+* host-contaminated pairs are excluded by an OBJECTIVE criterion measured
+  around every timed build: /proc/stat steal time > 1% means the
+  hypervisor preempted these vCPUs for a neighbor (observed: identical
+  builds run 4.5x slower at 5% steal) — such pairs stay in the raw-sample
+  lists below but are replaced by a retry pair (bounded retry budget);
 * a crashed worker (dead Py4J gateway) is detected, logged to stderr and
   retried — never silently dropped or embedded in results;
 * only executor count changes: fixed n_shards=32, n_buckets=32, n_waves=1,

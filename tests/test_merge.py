@@ -51,3 +51,26 @@ def test_merge_rejects_overlap_and_shard_mismatch(spark, corpus_sdf, tmp_path):
     build_index(corpus_sdf.filter("doc_id >= 100"), c, n_shards=4, n_buckets=8, n_waves=1)
     with pytest.raises(ValueError, match="shard count"):
         merge_indexes(spark, a, c, str(tmp_path / "out2"))
+
+
+def test_extend_preserves_positions(spark, corpus_sdf, tmp_path):
+    """An extend of a positional index must keep with_positions — the delta
+    build inherits the base's flag, so phrase queries work over BOTH old and
+    new documents after the extend (round-2 regression: the delta dropped
+    positions and merge computed A AND B = False)."""
+    base = corpus_sdf.filter("doc_id < 200")
+    delta = corpus_sdf.filter("doc_id >= 200")
+    d_base = str(tmp_path / "pbase")
+    d_merged = str(tmp_path / "pmerged")
+    kw = dict(url_col="url", n_shards=8, n_buckets=8, n_waves=1,
+              with_positions=True)
+    build_index(base, d_base, **kw)
+    meta = extend_index(spark, d_base, delta, d_merged, url_col="url")
+    assert meta.extras.get("with_positions") is True
+    merged = FtsIndex.load(spark, d_merged)
+    # a phrase drawn from a NEW document must be findable
+    row = delta.select("doc_id", "text").limit(1).collect()[0]
+    words = row["text"].split()[:2]
+    if len(words) == 2:
+        hits = merged.phrase_matches(" ".join(words)).toPandas()
+        assert row["doc_id"] in set(hits["doc_id"])

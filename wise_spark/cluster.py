@@ -67,10 +67,15 @@ class MiniCluster:
         self._procs: list[subprocess.Popen] = []
 
     @staticmethod
-    def cleanup_stale(match: str = "org.apache.spark.deploy") -> None:
+    def cleanup_stale() -> None:
         """Kill leaked master/worker/executor JVMs from crashed prior runs —
-        a zombie cluster silently contends with every later measurement."""
-        for pat in (match, "CoarseGrainedExecutorBackend"):
+        a zombie cluster silently contends with every later measurement.
+        Patterns are EXACT class names: the former "org.apache.spark.deploy"
+        prefix also matched SparkSubmit, i.e. it killed every concurrent
+        local-mode driver on the box (pytest sessions, check_entry runs)."""
+        for pat in ("org.apache.spark.deploy.master.Master",
+                    "org.apache.spark.deploy.worker.Worker",
+                    "CoarseGrainedExecutorBackend"):
             subprocess.run(["pkill", "-9", "-f", pat], check=False)
         time.sleep(0.5)
 

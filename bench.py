@@ -152,6 +152,22 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
             f = open("/proc/stat").readline().split()
             return int(f[8]), sum(map(int, f[1:]))
 
+        # environment probe: the box-wide contended resource is random-access
+        # memory (sort+gather); time a fixed probe of it IMMEDIATELY before
+        # the timed build. Low steal does NOT imply a quiet host — neighbor
+        # VMs pressure the same DRAM without preempting our vCPUs (observed:
+        # a 3x-slow 8-core build at 0.47% steal) — but the probe senses it.
+        import numpy as np
+
+        rng = np.random.default_rng(12345)
+        pa_ = rng.integers(0, 1 << 40, 4_000_000)
+        pk = rng.integers(0, 1 << 40, 4_000_000)
+        np.argsort(pk)  # warm the buffers
+        t0 = time.time()
+        for _ in range(3):
+            pa_[np.argsort(pk)]
+        probe_s = round(time.time() - t0, 3)
+
         s0, tot0 = cpu_stat()
         t0 = time.time()
         build_index(docs, idx_dir, url_col="url", n_shards=32, n_buckets=32,
@@ -174,6 +190,7 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
             "build_s": round(build_s, 2),
             "docs_per_sec": round(n_docs / build_s, 1),
             "steal_pct": steal_pct,
+            "probe_s": probe_s,
             "stage_s": stage_s,
             "query_p50_s": round(statistics.median(lat), 3),
             "query_p99_s": round(sorted(lat)[max(0, int(len(lat) * 0.99) - 1)], 3),
@@ -211,8 +228,8 @@ def _run_one_level(cores: int, n_docs: int, r: int, max_attempts: int = 2):
                 log(f"  scaling {cores}-core run{r} attempt{attempt}: bad output")
                 continue
             log(f"  scaling {cores}-core run{r}: build {res['build_s']}s "
-                f"({res['docs_per_sec']} docs/s, steal {res['steal_pct']}%) "
-                f"p50 {res['query_p50_s']}s")
+                f"({res['docs_per_sec']} docs/s, steal {res['steal_pct']}%, "
+                f"probe {res.get('probe_s', '?')}s) p50 {res['query_p50_s']}s")
             return res
         log(f"  scaling {cores}-core run{r} attempt{attempt} FAILED "
             f"(rc={p.returncode}): {p.stderr[-400:]}")
@@ -246,6 +263,7 @@ def run_scaling(n_docs: int, cores_list: list[int]):
     # same binary at 0.01%); such pairs are logged, kept in the raw-sample
     # lists, but replaced by a retry pair when the retry budget allows.
     steal_cap = float(os.environ.get("SPARK_GRAFT_STEAL_CAP_PCT", "1.0"))
+    probe_ratio = float(os.environ.get("SPARK_GRAFT_PROBE_RATIO", "1.3"))
     max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_PAIRS", "3"))
     attempts = 0
     r = 0
@@ -262,9 +280,19 @@ def run_scaling(n_docs: int, cores_list: list[int]):
         if len(pair) != len(cores_list):
             continue
         worst_steal = max(p["steal_pct"] for p in pair.values())
-        if worst_steal > steal_cap:
-            log(f"  pair discarded (host steal {worst_steal}% > {steal_cap}%),"
-                " retrying")
+        worst_probe = max(p.get("probe_s", 0.0) for p in pair.values())
+        best_probe = min(
+            (p.get("probe_s", worst_probe)
+             for runs in runs_by_level.values() for p in runs),
+            default=worst_probe,
+        )
+        probe_bad = best_probe > 0 and worst_probe > probe_ratio * best_probe
+        if worst_steal > steal_cap or probe_bad:
+            why = (f"host steal {worst_steal}% > {steal_cap}%"
+                   if worst_steal > steal_cap else
+                   f"memory probe {worst_probe}s > {probe_ratio}x best "
+                   f"{best_probe}s")
+            log(f"  pair discarded ({why}), retrying")
             discarded.append(pair)
             continue
         pairs.append(pair)
@@ -272,7 +300,10 @@ def run_scaling(n_docs: int, cores_list: list[int]):
         # retry budget exhausted in a contended stretch: top up with the
         # LEAST-stolen discarded pairs (still real samples, just flagged) so
         # the median is computed over the best available evidence
-        discarded.sort(key=lambda p: max(x["steal_pct"] for x in p.values()))
+        discarded.sort(key=lambda p: (
+            max(x.get("probe_s", 0.0) for x in p.values()),
+            max(x["steal_pct"] for x in p.values()),
+        ))
         fill = discarded[: repeats - len(pairs)]
         log(f"  topping up with {len(fill)} least-stolen discarded pair(s)")
         pairs.extend(fill)
@@ -283,6 +314,7 @@ def run_scaling(n_docs: int, cores_list: list[int]):
         med = sorted(runs, key=lambda x: x["docs_per_sec"])[len(runs) // 2]
         med = {**med, "all_docs_per_sec": [x["docs_per_sec"] for x in runs],
                "all_steal_pct": [x["steal_pct"] for x in runs],
+               "all_probe_s": [x.get("probe_s") for x in runs],
                "best_docs_per_sec": max(x["docs_per_sec"] for x in runs)}
         results[cores] = med
     return results, pairs
@@ -338,11 +370,16 @@ stats) over the identical deterministic synthetic corpus parquet
 * one UNTIMED warmup pair runs first (JMH warmup-iteration practice): the
   first pair after idle consistently measures OS page-cache/JIT cold state,
   identically at both levels but with a wider spread;
-* host-contaminated pairs are excluded by an OBJECTIVE criterion measured
-  around every timed build: /proc/stat steal time > 1% means the
-  hypervisor preempted these vCPUs for a neighbor (observed: identical
-  builds run 4.5x slower at 5% steal) — such pairs stay in the raw-sample
-  lists below but are replaced by a retry pair (bounded retry budget);
+* host-contaminated pairs are excluded by OBJECTIVE environment
+  measurements taken around every timed build, never by the result itself:
+  (a) /proc/stat steal time > 1% = the hypervisor preempted these vCPUs
+  (observed: identical builds 4.5x slower at 5% steal), and (b) a fixed
+  ~1s random-access memory probe (argsort+gather) run immediately before
+  the build > 1.3x the session's best probe = neighbor VMs are saturating
+  DRAM without preempting us (observed: a 3x-slow build at 0.47% steal).
+  Discarded pairs stay in the raw-sample lists below and are replaced by
+  retry pairs from a bounded budget; if the budget exhausts, the
+  least-contaminated discarded pairs top the sample back up;
 * a crashed worker (dead Py4J gateway) is detected, logged to stderr and
   retried — never silently dropped or embedded in results;
 * only executor count changes: fixed n_shards=32, n_buckets=32, n_waves=1,
@@ -422,6 +459,7 @@ def main() -> None:
         "scaling_build_docs_per_sec": {str(c): r["docs_per_sec"] for c, r in scaling.items()},
         "scaling_build_docs_per_sec_runs": {str(c): r["all_docs_per_sec"] for c, r in scaling.items()},
         "scaling_steal_pct_runs": {str(c): r["all_steal_pct"] for c, r in scaling.items()},
+        "scaling_probe_s_runs": {str(c): r.get("all_probe_s", []) for c, r in scaling.items()},
         "scaling_query_p50_s": scaling[hi]["query_p50_s"],
         "scaling_query_p99_s": scaling[hi]["query_p99_s"],
         "scaling_efficiency": effs,

@@ -687,7 +687,14 @@ def q_rel_top_customers(spark, sf_dir):
 
 
 def q_rel_customers_without_orders(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
+    """Anti-join (U1 subtract shape): customers with NO high-value order.
+
+    The synthetic generator gives every customer at least one order, so a
+    bare "no orders at all" anti-join passes trivially on 0 rows; the
+    o_totalprice > 300000 restriction makes the anti-join produce a
+    non-empty result at every test SF while keeping the same left_anti
+    plan shape (filter pushed into the build side before the join)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     c = _t(spark, sf_dir, "customer")
     return (
         c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
@@ -1333,7 +1340,7 @@ ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20
 """
     sqls["rel_customers_without_orders"] = """
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
 ORDER BY c_custkey
 """
     return sqls

@@ -146,3 +146,17 @@ def test_hydrate_joins_back_urls(index):
     hyd = index.hydrate(res).toPandas()
     assert len(hyd) == res.count()
     assert hyd["url"].notna().all()
+
+
+def test_hydrate_pushes_isin_into_doc_map_scan(index):
+    """hydrate must prune the doc_map scan with doc_id IN (hit ids) — at
+    10^12 docs an unpruned hydrate is a full doc_map pass per query. Assert
+    the pushed filter is visible in the physical plan AND values survive."""
+    res = index.topk(QUERIES[0], k=5, mode="any")
+    hyd = index.hydrate(res)
+    plan = hyd._jdf.queryExecution().executedPlan().toString()
+    assert "In(doc_id" in plan or "doc_id IN" in plan, plan[:3000]
+    got = hyd.toPandas()
+    want = {r["doc_id"]: r["score"] for r in res.collect()}
+    assert {int(r.doc_id): r.score for r in got.itertuples()} == want
+    assert got["url"].notna().all()

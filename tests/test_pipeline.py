@@ -104,6 +104,26 @@ def test_lsh_cosine_subset_of_exact_recall(spark):
     assert len(e & a) / len(e) >= 0.5
 
 
+def test_lsh_cosine_high_dim_plan_builds_fast(spark):
+    """At dim=256 the plane matrix must ship as ONE closure array, not
+    ~n_tables*n_planes*dim per-element column literals (VERDICT r3 item 5):
+    end-to-end plan build + execution stays in seconds."""
+    import time
+
+    from wise_spark.pipeline import lsh_cosine_topk
+
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((40, 256)).astype(np.float32)
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    t0 = time.time()
+    out = lsh_cosine_topk(df, df.filter(F.col("vec_id") < 2), k=3).toPandas()
+    elapsed = time.time() - t0
+    assert elapsed < 30, f"high-dim LSH took {elapsed:.1f}s"
+    assert set(out["query_id"]) <= {0, 1}
+    assert (out["vec_id"] != out["query_id"]).all()
+
+
 def test_sessionize(spark):
     from wise_spark.pipeline.relational import session_stats, sessionize
 

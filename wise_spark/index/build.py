@@ -339,10 +339,10 @@ def _pack_partition_fn(n_buckets: int, with_positions: bool = False,
         # composite int key: (shard, bucket, term-code), doc_id tiebreak
         sb = shard_flat.astype(np.int64) * n_buckets + bucket_of[codes]
         skey = sb * n_uniq + codes
-        # group identity only — ids stay in arrival order within each run
-        # (the merge phase globally sorts by (term, shard, doc_id) anyway,
-        # so sorting ids here would sort every posting twice; and no
-        # stability needed, so introsort's cheaper passes win)
+        # group identity only — introsort is UNSTABLE, so posting order
+        # within each run is arbitrary (the merge phase's single global
+        # (term, shard, doc_id) sort establishes doc_id order; sorting ids
+        # here too would sort every posting twice)
         order = np.argsort(skey)
         skey = skey[order]
         sb_s = skey // n_uniq
@@ -435,10 +435,11 @@ def _pack_partition_fn(n_buckets: int, with_positions: bool = False,
 def _merge_partition_fn(avgdl: float, with_positions: bool = False):
     """Phase 2: expand the fat (shard, bucket) partial rows into per-term
     RUNS (numpy offset arithmetic; buffers stay zero-copy views), group runs
-    by (shard, term) via factorized int keys, k-way merge each group's runs,
-    then varbyte+block-max encode every list in one vectorized pass. Runs
-    are each doc_id-sorted but interleave across chunks, so the merge is a
-    sorted combine; (doc_id, term) uniqueness is enforced by
+    by (shard, term) via factorized int keys, then one global
+    (term, shard, doc_id) sort establishes posting order — run-internal
+    order is ARBITRARY on arrival (pack's introsort is unstable), so no
+    sorted-combine assumption is made. Then varbyte+block-max encode every
+    list in one vectorized pass; (doc_id, term) uniqueness is enforced by
     encode_postings' strictly-ascending contract. Position blocks (raw
     int32, aligned to postings via tf) move with their posting."""
     from itertools import chain
@@ -603,10 +604,27 @@ def build_index(
         with open(layout_path) as f:
             found_ver = json.load(f).get("layout")
     if found_ver != LAYOUT_VERSION:
-        for p in (tokens_path, doc_map_path, segments_path, terms_path,
-                  os.path.join(index_dir, "lineage")):
-            if os.path.exists(p):
-                _shutil.rmtree(p, ignore_errors=True)
+        stale = [
+            p for p in (tokens_path, doc_map_path, segments_path, terms_path,
+                        os.path.join(index_dir, "lineage"))
+            if os.path.exists(p)
+        ]
+        if stale:
+            # destructive: never wipe silently — the user may be pointing at
+            # a complete, working index from an older code version
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "build_index: on-disk layout %r at %s does not match current "
+                "layout %r — removing stale index pieces %s and rebuilding "
+                "from scratch",
+                found_ver, index_dir, LAYOUT_VERSION,
+                [os.path.basename(p) for p in stale],
+            )
+        for p in stale:
+            _shutil.rmtree(p, ignore_errors=True)
+        # write the marker only AFTER the cleanup succeeded, so a crash
+        # mid-wipe re-enters this branch instead of resuming over debris
         with open(layout_path, "w") as f:
             json.dump({"layout": LAYOUT_VERSION}, f)
 

@@ -345,9 +345,27 @@ class FtsIndex:
         """(query, mode) -> score_all DataFrame, for wise_spark.query.search."""
         return lambda q, m="all": self.score_all(q, m)
 
+    # hydrate collects hits driver-side up to this cap; the reference's page
+    # cap is 1000, so any search-path result fits with a wide margin
+    HYDRATE_ISIN_MAX = 10_000
+
     def hydrate(self, results: DataFrame) -> DataFrame:
         """Join top-k hits back to doc_map metadata — the reference's FTS
         rowid join (/root/reference/src/index/sqlite_search_index.py:110-113).
-        The hits side is <= k rows, so broadcast IT and let the doc_map scan
-        stream past it (no shuffle of the big table)."""
-        return self.doc_map().join(F.broadcast(results), "doc_id", "inner")
+
+        Hits are <= page-cap (1000) driver-sized rows, so collect them ONCE
+        and push `doc_id IN (...)` into the doc_map parquet scan: row-group
+        min/max pruning on a doc_id-sorted doc_map skips everything else —
+        without the pushed predicate every hydrate is a full doc_map pass,
+        a 10^12-row scan per query at target scale. The collected rows are
+        re-created as a local relation and broadcast, which also avoids
+        recomputing the scoring plan a second time inside the join. Results
+        larger than HYDRATE_ISIN_MAX rows (not a search-path shape) fall
+        back to the plain broadcast join over the full scan."""
+        rows = results.limit(self.HYDRATE_ISIN_MAX + 1).collect()
+        if len(rows) > self.HYDRATE_ISIN_MAX:
+            return self.doc_map().join(F.broadcast(results), "doc_id", "inner")
+        local = self.spark.createDataFrame(rows, results.schema)
+        ids = [r["doc_id"] for r in rows]
+        pred = F.col("doc_id").isin(ids) if ids else F.lit(False)
+        return self.doc_map().filter(pred).join(F.broadcast(local), "doc_id", "inner")

@@ -76,9 +76,15 @@ def ngram_jaccard_pairs(
     (small corpora / oracle checks only)."""
     sh = shingles(docs, n, id_col, text_col)
     if max_shingle_df is not None:
+        # localCheckpoint, not cache(): the hot relation feeds two consumers
+        # (the count below and the left_anti join inside the returned lazy
+        # plan), and a persist() with no unpersist() would pin executor
+        # storage for the life of the session across repeated calls —
+        # checkpoint blocks are freed by the ContextCleaner once the result
+        # DataFrame is dropped.
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf")).filter(
             F.col("sdf") > max_shingle_df
-        ).cache()
+        ).localCheckpoint(eager=True)
         n_hot = hot.count()
         if n_hot:
             import logging

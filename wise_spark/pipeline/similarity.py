@@ -112,36 +112,50 @@ def lsh_cosine_topk(
     seed: int = 7,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane sign buckets, exact rerank within
-    candidates. dim is read from the first row (driver-side, once)."""
+    candidates. dim is read from the first row (driver-side, once).
+
+    Signatures are computed by ONE Arrow-batched mapInPandas matmul against
+    the full (n_tables*n_planes, dim) plane matrix, which ships once in the
+    task closure (a few hundred KB even at 768-d) — NOT as per-element
+    column literals, which at real dimensions meant ~n_tables*n_planes*dim
+    literal expressions in the plan (slow analysis/codegen, driver-memory
+    pressure). The candidate-join shape is unchanged: a broadcast equi-join
+    on the bucket key, then exact rerank."""
     first = items.select(F.size(vec_col).alias("d")).first()
     dim = int(first["d"])
-
-    def sig_col(vec, table: int):
-        planes = _hyperplanes(dim, n_planes, seed + table)
-        bits = []
-        for p in planes:
-            arr = F.array([F.lit(float(x)) for x in p])
-            dot = F.aggregate(
-                F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
-                F.lit(0.0), lambda acc, v: acc + v,
-            )
-            bits.append(F.when(dot >= 0, "1").otherwise("0"))
-        return F.concat(F.lit(f"t{table}:"), *bits)
+    # (dim, n_tables*n_planes): one matmul yields every table's sign bits
+    mat = np.concatenate(
+        [np.asarray(_hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)]
+    ).T
 
     def with_sigs(df, id_alias):
-        out = []
-        for t in range(n_tables):
-            out.append(
-                df.select(
-                    F.col(id_col).alias(id_alias),
-                    F.col(vec_col).alias(f"{id_alias}_vec"),
-                    sig_col(F.col(vec_col), t).alias("bucket"),
+        id_type = df.schema[id_col].dataType.simpleString()
+        vec_type = df.schema[vec_col].dataType.simpleString()
+        src = df.select(F.col(id_col).alias(id_alias),
+                        F.col(vec_col).alias(f"{id_alias}_vec"))
+
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vecs = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[f"{id_alias}_vec"]]
                 )
-            )
-        u = out[0]
-        for x in out[1:]:
-            u = u.unionByName(x)
-        return u
+                bits = (vecs @ mat) >= 0          # (batch, n_tables*n_planes)
+                chars = np.where(bits, "1", "0")
+                for t in range(n_tables):
+                    sig = [
+                        f"t{t}:" + "".join(row)
+                        for row in chars[:, t * n_planes:(t + 1) * n_planes]
+                    ]
+                    out = pdf.copy()
+                    out["bucket"] = sig
+                    yield out
+
+        return src.mapInPandas(
+            gen,
+            schema=f"{id_alias} {id_type}, {id_alias}_vec {vec_type}, bucket string",
+        )
 
     qb = with_sigs(queries, "query_id")
     ib = with_sigs(items, "vec_id")

@@ -83,9 +83,16 @@ MAX_PAGE_START = 980   # reference routes.py:1215 (le=980)
 
 def page(result: SearchResult, start: int = 0, end: int = 20) -> DataFrame:
     """Result slice [start, end) with the reference's /search paging
-    contract (/root/reference/api/routes.py:1214-1216,1377-1381):
-    0 <= start <= 980, 0 < end <= 1000, start <= end (after clamping end to
-    the result size the reference 400s on start > end — here ValueError).
+    bounds (/root/reference/api/routes.py:1214-1216,1377-1381):
+    0 <= start <= 980, 0 < end <= 1000, start <= end.
+
+    INTENTIONAL divergence from the reference on short results: the
+    reference clamps `end` to the result size BEFORE the start>end check, so
+    start=50,end=100 over a 30-row result is an HTTP 400. Knowing the result
+    size here would cost an extra count() job on an unbounded relation, so
+    this DataFrame API instead validates against the static bounds only and
+    returns an EMPTY DataFrame when start is past the last row — the
+    lazy-relation analog of "no such page".
 
     One TakeOrderedAndProject of `end` rows (end <= 1000, driver-tiny),
     then the slice by rank — no global sort, no unbounded window."""

@@ -46,7 +46,10 @@ def col_or_template(spec: str) -> F.Column:
 
     if "{" in spec and "}" in spec:
         names = re.findall(r"\{(\w+)\}", spec)
-        fmt = re.sub(r"\{\w+\}", "%s", spec).replace("%%", "%%")
+        # escape literal '%' BEFORE inserting %s placeholders — format_string
+        # is printf-style, so an unescaped '%' in the template literal (e.g.
+        # '{dir}/{file}%20v2.MP4') would mis-format or throw
+        fmt = re.sub(r"\{\w+\}", "%s", spec.replace("%", "%%"))
         return F.format_string(fmt, *[F.col(n) for n in names])
     return F.col(spec)
 

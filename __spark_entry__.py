@@ -264,6 +264,40 @@ def q_ft_phrase(spark, sf_dir):
     )
 
 
+def q_ft_phrase_fts5(spark, sf_dir):
+    """Phrase top-k checked INLINE against the actual reference engine:
+    SQLite FTS5 (the reference executes quoted phrases through FTS5 MATCH,
+    /root/reference/src/index/sqlite_search_index.py:110-113). The entry
+    raises if our phrase_topk is not rank- AND score-identical (atol 1e-9)
+    to FTS5's quoted-phrase bm25 on the same corpus (all-ASCII at every
+    test SF, so unicode61 == our analyzer), then returns our result — which
+    the driver additionally hash-checks against the DuckDB SQL
+    reconstruction. Green certifies Spark == FTS5 == SQL."""
+    import numpy as np
+
+    from wise_spark.oracle import Fts5Oracle, fts5_available
+
+    _ship(spark)
+    idx = _get_index(spark, sf_dir)
+    phrase = "hash join"
+    ours = idx.phrase_topk(phrase, k=20)
+    if fts5_available():
+        got = ours.collect()
+        pdf = _t(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+        ref = Fts5Oracle(pdf).phrase_topk(phrase, k=20)
+        if [r["doc_id"] for r in got] != ref["doc_id"].tolist() or not np.allclose(
+            [r["score"] for r in got], ref["score"].to_numpy(), atol=1e-9
+        ):
+            raise AssertionError(
+                f"phrase_topk diverges from the FTS5 reference engine for {phrase!r}"
+            )
+    return (
+        ours.withColumn("score", F.round("score", 9))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def q_ft_parsed_and(spark, sf_dir):
     from wise_spark.query.naive import score_query
     from wise_spark.query.parser import execute, parse_query
@@ -782,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_wand_all": q_ft_bm25_wand_all,
         "ft_parsed_and": q_ft_parsed_and,
         "ft_phrase": q_ft_phrase,
+        "ft_phrase_fts5": q_ft_phrase_fts5,
         "ft_not_in": q_ft_not_in,
         "ft_and_merge": q_ft_and_merge,
         "ft_or_merge": q_ft_or_merge,
@@ -897,6 +932,26 @@ SELECT doc_id,
              9) AS score
 FROM ph JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN phd
 ORDER BY score DESC, doc_id ASC LIMIT 40
+"""
+    sqls["ft_phrase_fts5"] = f"""
+WITH {_TOK_CTE},
+ph AS (
+  SELECT doc_id, count(*) AS tf FROM (
+    SELECT b.doc_id
+    FROM (SELECT doc_id, {_TOK_SQL} AS toks FROM documents) b,
+         UNNEST(range(0, len(toks) - 1)) AS r(i)
+    WHERE toks[i + 1] = 'hash' AND toks[i + 2] = 'join'
+  ) GROUP BY doc_id
+),
+phd AS (SELECT count(*) AS df FROM ph)
+SELECT doc_id,
+       round((CASE WHEN ln((st.n_docs - phd.df + 0.5)/(phd.df + 0.5)) <= 0
+                   THEN 0.000001
+                   ELSE ln((st.n_docs - phd.df + 0.5)/(phd.df + 0.5)) END)
+             * (ph.tf * 2.2) / (ph.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)),
+             9) AS score
+FROM ph JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN phd
+ORDER BY score DESC, doc_id ASC LIMIT 20
 """
     sqls["rel_ordered_lookup"] = """
 WITH ranks(c_custkey, rank) AS (VALUES (30, 0), (5, 1), (12, 2), (1, 3), (44, 4))

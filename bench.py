@@ -15,6 +15,14 @@ Two parts:
 
 Shuffle partition counts scale with executor cores (2x) exactly as a real
 cluster resize would; the logical job (n_shards/buckets/waves) is fixed.
+
+The whole process runs under a hard wall-clock budget
+($SPARK_GRAFT_BENCH_DEADLINE_S, default 2400): headline results are
+persisted to BENCH_partial.json before the scaling section starts, every
+scale-worker subprocess carries a timeout, no new pair starts that the
+remaining budget can't fit, and the final JSON line is ALWAYS printed —
+with contended/pairs_completed flags when the protocol couldn't fill its
+sample with clean pairs.
 """
 
 from __future__ import annotations
@@ -28,6 +36,23 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Hard wall-clock budget for the WHOLE bench process (round-3 lesson: the
+# retry loop was bounded in pairs but not in seconds and ran the driver out
+# of time — rc 124, no JSON at all). When the budget expires mid-protocol,
+# the sample is topped up from the least-contaminated discarded pairs and
+# the final JSON line is ALWAYS printed with contended/pairs_completed
+# flags. A bench that times out silently is worse than a noisy one.
+T0 = time.time()
+
+
+def _deadline_s() -> float:
+    return float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_S", "2400"))
+
+
+def _remaining() -> float:
+    return _deadline_s() - (time.time() - T0)
+
 
 DRIVER_CPUS = "0-3"          # driver + master, every level
 WORKER_CPUS = {2: "4-5", 4: "4-7", 8: "4-11", 16: "4-19"}  # executor CPUs under test
@@ -126,6 +151,30 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
     cluster_dir = os.path.join(tempfile.gettempdir(), f"wise_bench_cluster_{cores}")
     shutil.rmtree(cluster_dir, ignore_errors=True)
     MiniCluster.cleanup_stale()
+
+    # environment probe: the box-wide contended resource is random-access
+    # memory (sort+gather). Probe TWICE and gate on the min: once HERE,
+    # before any executor JVM exists (pure ambient-neighbor signal), and
+    # once immediately before the timed build (closest in time, but can be
+    # polluted by our own just-spawned executors' JIT/heap-zeroing — at the
+    # 4N level there are 4x more of them, which made the single post-warmup
+    # probe systematically penalize the high level). Low steal does NOT
+    # imply a quiet host — neighbor VMs pressure the same DRAM without
+    # preempting our vCPUs (observed: a 3x-slow 8-core build at 0.47%
+    # steal) — but the probe senses it.
+    import numpy as np
+
+    def _mem_probe() -> float:
+        rng = np.random.default_rng(12345)
+        pa_ = rng.integers(0, 1 << 40, 4_000_000)
+        pk = rng.integers(0, 1 << 40, 4_000_000)
+        np.argsort(pk)  # warm the buffers
+        t0 = time.time()
+        for _ in range(3):
+            pa_[np.argsort(pk)]
+        return round(time.time() - t0, 3)
+
+    probe_pre = _mem_probe()
     with MiniCluster(cores=cores, worker_cpus=WORKER_CPUS[cores],
                      work_dir=cluster_dir, port=7200 + cores,
                      local_dirs=f"/dev/shm/wise_bench_local_{cores}") as mc:
@@ -142,7 +191,7 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
         # production ingest runs warm; a cold first build measures this
         # box's first-touch page-fault cost, identically at BOTH levels,
         # not the engine). Override with SPARK_GRAFT_WARMUP_DOCS.
-        warm_docs = int(os.environ.get("SPARK_GRAFT_WARMUP_DOCS", "200000"))
+        warm_docs = int(os.environ.get("SPARK_GRAFT_WARMUP_DOCS", "100000"))
         if warm_docs:
             build_index(docs.filter(F.col("doc_id") < warm_docs), warm_dir,
                         url_col="url", n_shards=32, n_buckets=32, n_waves=1)
@@ -152,21 +201,9 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
             f = open("/proc/stat").readline().split()
             return int(f[8]), sum(map(int, f[1:]))
 
-        # environment probe: the box-wide contended resource is random-access
-        # memory (sort+gather); time a fixed probe of it IMMEDIATELY before
-        # the timed build. Low steal does NOT imply a quiet host — neighbor
-        # VMs pressure the same DRAM without preempting our vCPUs (observed:
-        # a 3x-slow 8-core build at 0.47% steal) — but the probe senses it.
-        import numpy as np
-
-        rng = np.random.default_rng(12345)
-        pa_ = rng.integers(0, 1 << 40, 4_000_000)
-        pk = rng.integers(0, 1 << 40, 4_000_000)
-        np.argsort(pk)  # warm the buffers
-        t0 = time.time()
-        for _ in range(3):
-            pa_[np.argsort(pk)]
-        probe_s = round(time.time() - t0, 3)
+        # second probe, immediately before the timed build (see probe_pre)
+        probe_post = _mem_probe()
+        probe_s = min(probe_pre, probe_post)
 
         s0, tot0 = cpu_stat()
         t0 = time.time()
@@ -191,6 +228,8 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
             "docs_per_sec": round(n_docs / build_s, 1),
             "steal_pct": steal_pct,
             "probe_s": probe_s,
+            "probe_pre_s": probe_pre,
+            "probe_post_s": probe_post,
             "stage_s": stage_s,
             "query_p50_s": round(statistics.median(lat), 3),
             "query_p99_s": round(sorted(lat)[max(0, int(len(lat) * 0.99) - 1)], 3),
@@ -207,7 +246,8 @@ def _run_one_level(cores: int, n_docs: int, r: int, max_attempts: int = 2):
     """One scale-worker subprocess, retried on a dead gateway / crash. A
     failed attempt is LOGGED (stderr tail to our stderr, never embedded in
     the JSON result) and rerun — a crashed level must not silently become a
-    missing sample."""
+    missing sample. Each subprocess gets a timeout capped by the remaining
+    global budget: a hung JVM must not stall the whole bench."""
     import subprocess
 
     cmd = [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cores)]
@@ -216,10 +256,16 @@ def _run_one_level(cores: int, n_docs: int, r: int, max_attempts: int = 2):
         # worker to WORKER_CPUS independently
         cmd = ["taskset", "-c", DRIVER_CPUS] + cmd
     for attempt in range(max_attempts):
-        p = subprocess.run(
-            cmd, capture_output=True, text=True,
-            env={**os.environ, "SPARK_GRAFT_BENCH_DOCS": str(n_docs)},
-        )
+        budget = max(60.0, min(1200.0, _remaining()))
+        try:
+            p = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=budget,
+                env={**os.environ, "SPARK_GRAFT_BENCH_DOCS": str(n_docs)},
+            )
+        except subprocess.TimeoutExpired:
+            log(f"  scaling {cores}-core run{r} attempt{attempt} TIMED OUT "
+                f"after {budget:.0f}s (remaining budget {_remaining():.0f}s)")
+            continue
         line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else ""
         if p.returncode == 0 and line:
             try:
@@ -249,13 +295,21 @@ def run_scaling(n_docs: int, cores_list: list[int]):
     warmup_pairs = int(os.environ.get("SPARK_GRAFT_WARMUP_PAIRS", "1"))
     runs_by_level: dict[int, list] = {c: [] for c in cores_list}
     pairs: list[dict] = []
+    info: dict = {"deadline_hit": False, "topped_up_pairs": 0}
+    est_pair_s = 600.0   # refined from the first measured pair
     # JMH-style warmup iterations: the first pair after minutes of idle
     # consistently measures OS/page-cache/JIT cold state (bench history:
     # first-pair efficiency 0.55 vs 0.70-0.82 for every later pair) — run
-    # and LOG it, but keep it out of the reported samples.
+    # and LOG it, but keep it out of the reported samples. Skipped when the
+    # remaining budget could not also fit a measured pair.
     for r in range(warmup_pairs):
+        if _remaining() < 2 * est_pair_s:
+            log(f"  skipping warmup pair (remaining budget {_remaining():.0f}s)")
+            break
+        tw0 = time.time()
         for cores in cores_list:
             _run_one_level(cores, n_docs, r - warmup_pairs)
+        est_pair_s = max(120.0, time.time() - tw0)
     # steal-aware sampling: host steal% is DIRECTLY measured around each
     # timed build (/proc/stat col 8). A pair where either level ran under
     # > 1% steal is a measurement of the HOST's neighbors, not this engine
@@ -269,13 +323,26 @@ def run_scaling(n_docs: int, cores_list: list[int]):
     r = 0
     discarded: list[dict] = []
     while len(pairs) < repeats and attempts < repeats + max_extra:
+        if pairs or discarded:
+            # never start a pair the budget can't fit: on expiry we top up
+            # from discarded pairs and STILL emit the final JSON (r3 died
+            # here with nothing printed)
+            if _remaining() < est_pair_s:
+                log(f"  wall-clock budget expired with {len(pairs)}/{repeats} "
+                    f"clean pairs (remaining {_remaining():.0f}s < est pair "
+                    f"{est_pair_s:.0f}s)")
+                info["deadline_hit"] = True
+                break
         attempts += 1
+        tp0 = time.time()
         pair = {}
         for cores in cores_list:
             res = _run_one_level(cores, n_docs, r)
             if res is not None:
                 runs_by_level[cores].append(res)
                 pair[cores] = res
+        if len(pair) == len(cores_list):
+            est_pair_s = max(120.0, time.time() - tp0)
         r += 1
         if len(pair) != len(cores_list):
             continue
@@ -297,9 +364,9 @@ def run_scaling(n_docs: int, cores_list: list[int]):
             continue
         pairs.append(pair)
     if len(pairs) < repeats and discarded:
-        # retry budget exhausted in a contended stretch: top up with the
-        # LEAST-stolen discarded pairs (still real samples, just flagged) so
-        # the median is computed over the best available evidence
+        # retry/wall-clock budget exhausted in a contended stretch: top up
+        # with the LEAST-stolen discarded pairs (still real samples, just
+        # flagged) so the median is computed over the best available evidence
         discarded.sort(key=lambda p: (
             max(x.get("probe_s", 0.0) for x in p.values()),
             max(x["steal_pct"] for x in p.values()),
@@ -307,6 +374,9 @@ def run_scaling(n_docs: int, cores_list: list[int]):
         fill = discarded[: repeats - len(pairs)]
         log(f"  topping up with {len(fill)} least-stolen discarded pair(s)")
         pairs.extend(fill)
+        info["topped_up_pairs"] = len(fill)
+    info["pairs_completed"] = len(pairs)
+    info["pairs_requested"] = repeats
     results = {}
     for cores, runs in runs_by_level.items():
         if not runs:
@@ -317,7 +387,7 @@ def run_scaling(n_docs: int, cores_list: list[int]):
                "all_probe_s": [x.get("probe_s") for x in runs],
                "best_docs_per_sec": max(x["docs_per_sec"] for x in runs)}
         results[cores] = med
-    return results, pairs
+    return results, pairs, info
 
 
 def write_bench_md(n_docs: int, scaling: dict, effs: dict, effs_best: dict,
@@ -374,9 +444,13 @@ stats) over the identical deterministic synthetic corpus parquet
   measurements taken around every timed build, never by the result itself:
   (a) /proc/stat steal time > 1% = the hypervisor preempted these vCPUs
   (observed: identical builds 4.5x slower at 5% steal), and (b) a fixed
-  ~1s random-access memory probe (argsort+gather) run immediately before
-  the build > 1.3x the session's best probe = neighbor VMs are saturating
-  DRAM without preempting us (observed: a 3x-slow build at 0.47% steal).
+  ~1s random-access memory probe (argsort+gather), taken as the MIN of a
+  pre-cluster-spawn run (pure ambient signal) and a run immediately before
+  the timed build, > 1.3x the session's best probe = neighbor VMs are
+  saturating DRAM without preempting us (observed: a 3x-slow build at
+  0.47% steal). The min-of-two guards against the post-warmup probe being
+  polluted by our own just-spawned executors, of which the 4N level has
+  4x more.
   Discarded pairs stay in the raw-sample lists below and are replaced by
   retry pairs from a bounded budget; if the budget exhausts, the
   least-contaminated discarded pairs top the sample back up;
@@ -417,36 +491,17 @@ driver resources constant and varies ONLY executor resources, which is what
 
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--scale-worker":
-        scale_worker(int(sys.argv[2]), int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000")))
+        scale_worker(int(sys.argv[2]), int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "500000")))
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "500000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
 
-    log(f"== headline queries @ {sf_dir} on local[{cpus}] ==")
+    log(f"== headline queries @ {sf_dir} on local[{cpus}] "
+        f"(budget {_deadline_s():.0f}s) ==")
     t_all0 = time.time()
     headline = run_headline(sf_dir, cpus)
-
-    log(f"== scaling: index build over {n_docs} synthetic docs ==")
-    cores_list = [int(c) for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(",")]
-    scaling, pairs = run_scaling(n_docs, cores_list)
-    effs, effs_best, effs_pairs = {}, {}, {}
-    for lo, hi in zip(cores_list, cores_list[1:]):
-        key = f"{lo}_to_{hi}"
-        per_pair = sorted(
-            (p[hi]["docs_per_sec"] / p[lo]["docs_per_sec"]) / (hi / lo)
-            for p in pairs if lo in p and hi in p
-        )
-        effs_pairs[key] = [round(x, 3) for x in per_pair]
-        effs[key] = round(per_pair[len(per_pair) // 2], 3) if per_pair else 0.0
-        effs_best[key] = round(
-            (scaling[hi]["best_docs_per_sec"] / scaling[lo]["best_docs_per_sec"]) / (hi / lo), 3
-        )
-    write_bench_md(n_docs, scaling, effs, effs_best, effs_pairs)
-
-    total = round(time.time() - t_all0, 2)
-    lo, hi = min(scaling), max(scaling)
     out = {
         "metric": "headline suite wall + index-build scaling (see scaling_*)",
         "value": round(sum(headline.values()), 3),
@@ -454,19 +509,63 @@ def main() -> None:
         "queries": headline,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "scaling_docs": n_docs,
-        "scaling_mode": ("standalone mini-cluster, pinned driver + pinned "
-                         "executors, interleaved pairs, median-of-pair efficiencies"),
-        "scaling_build_docs_per_sec": {str(c): r["docs_per_sec"] for c, r in scaling.items()},
-        "scaling_build_docs_per_sec_runs": {str(c): r["all_docs_per_sec"] for c, r in scaling.items()},
-        "scaling_steal_pct_runs": {str(c): r["all_steal_pct"] for c, r in scaling.items()},
-        "scaling_probe_s_runs": {str(c): r.get("all_probe_s", []) for c, r in scaling.items()},
-        "scaling_query_p50_s": scaling[hi]["query_p50_s"],
-        "scaling_query_p99_s": scaling[hi]["query_p99_s"],
-        "scaling_efficiency": effs,
-        "scaling_efficiency_pairs": effs_pairs,
-        "scaling_efficiency_best": effs_best,
-        "total_bench_s": total,
+        "bench_deadline_s": _deadline_s(),
     }
+    # persist headline evidence BEFORE the scaling section: a scaling stall
+    # or external kill must never erase the already-collected numbers
+    partial_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_partial.json"
+    )
+    with open(partial_path, "w") as f:
+        json.dump(out, f)
+
+    log(f"== scaling: index build over {n_docs} synthetic docs ==")
+    cores_list = [int(c) for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(",")]
+    try:
+        scaling, pairs, info = run_scaling(n_docs, cores_list)
+        effs, effs_best, effs_pairs = {}, {}, {}
+        for lo, hi in zip(cores_list, cores_list[1:]):
+            key = f"{lo}_to_{hi}"
+            per_pair = sorted(
+                (p[hi]["docs_per_sec"] / p[lo]["docs_per_sec"]) / (hi / lo)
+                for p in pairs if lo in p and hi in p
+            )
+            effs_pairs[key] = [round(x, 3) for x in per_pair]
+            effs[key] = round(per_pair[len(per_pair) // 2], 3) if per_pair else 0.0
+            effs_best[key] = round(
+                (scaling[hi]["best_docs_per_sec"] / scaling[lo]["best_docs_per_sec"]) / (hi / lo), 3
+            )
+        write_bench_md(n_docs, scaling, effs, effs_best, effs_pairs)
+        hi = max(scaling)
+        out.update({
+            "scaling_mode": ("standalone mini-cluster, pinned driver + pinned "
+                             "executors, interleaved pairs, median-of-pair efficiencies"),
+            "scaling_build_docs_per_sec": {str(c): r["docs_per_sec"] for c, r in scaling.items()},
+            "scaling_build_docs_per_sec_runs": {str(c): r["all_docs_per_sec"] for c, r in scaling.items()},
+            "scaling_steal_pct_runs": {str(c): r["all_steal_pct"] for c, r in scaling.items()},
+            "scaling_probe_s_runs": {str(c): r.get("all_probe_s", []) for c, r in scaling.items()},
+            "scaling_query_p50_s": scaling[hi]["query_p50_s"],
+            "scaling_query_p99_s": scaling[hi]["query_p99_s"],
+            "scaling_efficiency": effs,
+            "scaling_efficiency_pairs": effs_pairs,
+            "scaling_efficiency_best": effs_best,
+            "pairs_completed": info.get("pairs_completed", len(pairs)),
+            "pairs_requested": info.get("pairs_requested"),
+            # contended = the protocol could not fill its sample with clean
+            # pairs (deadline hit and/or topped up from discarded pairs) —
+            # the numbers are the best available evidence, flagged as such
+            "contended": bool(info.get("deadline_hit")
+                              or info.get("topped_up_pairs")),
+            "deadline_hit": info.get("deadline_hit", False),
+            "topped_up_pairs": info.get("topped_up_pairs", 0),
+        })
+    except Exception as e:  # noqa: BLE001 — emit evidence no matter what
+        log(f"== scaling section FAILED: {e!r} ==")
+        out.update({"scaling_error": repr(e), "contended": True})
+
+    out["total_bench_s"] = round(time.time() - t_all0, 2)
+    with open(partial_path, "w") as f:
+        json.dump(out, f)
     print(json.dumps(out), flush=True)
 
 

@@ -84,6 +84,18 @@ def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
     import __spark_entry__ as E
 
     spark = _local_spark(cores)
+    # steady-state measurement (same JMH warmup practice as the scaling
+    # section): one untimed throwaway round spins up the python UDF workers
+    # (mapInPandas forks one per core), JIT-compiles the codegen paths and
+    # warms the parquet reader — otherwise the FIRST timed query absorbs
+    # ~10s of one-time session cold-start that no steady-state serving
+    # query pays (r4 observed: ft_bm25_topk_any 14.5s cold vs 2.4s for the
+    # identical-shape next query).
+    from pyspark.sql import functions as F
+    spark.range(100_000, numPartitions=cores).mapInPandas(
+        lambda it: it, schema="id long"
+    ).select(F.sum("id")).collect()
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(1).count()
     names = [
         "ft_bm25_topk_any", "ft_bm25_topk_all", "ft_bm25_wand", "ft_not_in",
         "ft_and_merge", "ft_or_merge", "ft_term_df", "ft_phrase",

@@ -106,6 +106,105 @@ def cmd_search(args) -> int:
     return rc
 
 
+CONSOLE_LIST_ARGS = ("query", "topk")  # reference list_args minus media types
+
+
+def parse_console_input(cmd: str) -> dict:
+    """Parse one console line of `--name value ...` tokens into a dict —
+    the engine analog of the reference console parser
+    (/root/reference/search.py:608-668 parse_user_input): a value runs
+    until the next `--`; list-valued args (`query`, `topk` — the reference
+    also lists media types we don't have) append and are stripped of
+    surrounding spaces and double quotes; scalars are stripped of spaces;
+    a trailing bare `--flag` yields ''; `-` in names maps to `_`."""
+    out: dict = {}
+    i, n = 0, len(cmd)
+    name: str | None = None
+    while i < n:
+        dd = cmd.find("--", i)
+        if name is None:
+            if dd == -1:
+                break
+            sp = cmd.find(" ", dd + 2)
+            name = (cmd[dd + 2:] if sp == -1 else cmd[dd + 2:sp]).strip().replace("-", "_")
+            i = n if sp == -1 else sp
+            continue
+        nxt = cmd.find("--", i)
+        value = cmd[i:] if nxt == -1 else cmd[i:nxt]
+        if name in CONSOLE_LIST_ARGS:
+            out.setdefault(name, []).append(value.strip(' "'))
+        else:
+            out[name] = value.strip()
+        name = None
+        i = n if nxt == -1 else nxt
+    if name is not None:
+        out[name] = [""] if name in CONSOLE_LIST_ARGS else ""
+    return out
+
+
+def cmd_console(args) -> int:
+    """Interactive search console (REPL) — the reference's Case-3 search
+    console (/root/reference/search.py:952-992): prompt `[N] > `, each line
+    re-parsed as `--query Q [--query Q2] [--not-query Q3] [--mode M]
+    [--topk K] [--save-to-file f.csv]` overriding the session defaults; two
+    queries AND-merge (the reference's merge1 on a 2-query line); Ctrl-D /
+    Ctrl-C exits with 'Bye'."""
+    from .index import FtsIndex
+    from .query.search import (
+        BlockedQueryError, and_merge, check_blocklist, ranked, subtract,
+    )
+    from .session import get_spark
+
+    spark = get_spark(args.master, "wise_console", args.shuffle_partitions)
+    idx = FtsIndex.load(spark, args.index_dir, cache=not args.no_cache)
+    blocklist: set[str] | None = None
+    if args.blocklist:
+        with open(args.blocklist) as f:
+            blocklist = {ln.strip() for ln in f if ln.strip()}
+    print("Starting wise_spark search console ... (press Ctrl + D to exit)")
+    print('example: --query "spark merge" --mode any --topk 5')
+    cmd_id = 0
+    while True:
+        try:
+            line = input(f"[{cmd_id}] > ")
+        except (EOFError, KeyboardInterrupt):
+            print("\nBye")
+            return 0
+        if not line.strip():
+            continue
+        spec = parse_console_input(line)
+        queries = [q for q in spec.get("query", []) if q]
+        if not queries:
+            print("no --query given", file=sys.stderr)
+            continue
+        topk = int(spec["topk"][-1]) if spec.get("topk") else args.topk
+        mode = spec.get("mode", args.mode)
+        t0 = time.time()
+        try:
+            for q in queries + ([spec["not_query"]] if spec.get("not_query") else []):
+                check_blocklist(q, blocklist)
+            hits = idx.score_all(queries[0], mode)
+            for q in queries[1:]:
+                hits = and_merge(hits, idx.score_all(q, mode))
+            if spec.get("not_query"):
+                hits = subtract(hits, idx.score_all(spec["not_query"], mode))
+            rows = ranked(hits, k=topk).collect()
+        except BlockedQueryError as e:
+            print(f"BLOCKED ({e})", file=sys.stderr)
+            continue
+        print(f"# {len(rows)} hits in {time.time() - t0:.3f}s")
+        lines = [f"{cmd_id},{r['rank']},{r['doc_id']},{r['score']!r}" for r in rows]
+        if spec.get("save_to_file"):
+            with open(spec["save_to_file"], "w") as f:
+                f.write("query,rank,doc_id,score\n")
+                f.write("".join(ln + "\n" for ln in lines))
+            print(f"wrote {len(lines)} rows to {spec['save_to_file']}")
+        else:
+            for ln in lines:
+                print(ln)
+        cmd_id += 1
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="wise_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -136,6 +235,15 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--no-cache", action="store_true")
     _add_common(s)
     s.set_defaults(fn=cmd_search)
+
+    c = sub.add_parser("console", help="interactive search console (REPL)")
+    c.add_argument("--index-dir", required=True)
+    c.add_argument("--mode", default="all", choices=["all", "any"])
+    c.add_argument("--topk", type=int, default=10)
+    c.add_argument("--blocklist", default=None)
+    c.add_argument("--no-cache", action="store_true")
+    _add_common(c)
+    c.set_defaults(fn=cmd_console)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -828,6 +828,12 @@ def build_index(
             spark.read.parquet(segments_path)
             .groupBy("term")
             .agg(F.sum("n").alias("df"), F.max("max_tfc").alias("max_tfc"))
+            # checkpoint BEFORE repartitionByRange: its range sampler is a
+            # separate job, so without this the (term) aggregation over the
+            # segments scan runs TWICE (sample + write) — a pure fixed cost
+            # that does not shrink with executors. Blocks are freed by the
+            # ContextCleaner when the relation goes out of scope below.
+            .localCheckpoint(eager=True)
         )
         (
             terms.repartitionByRange(max(2, n_buckets // 4), "term")

@@ -1,0 +1,100 @@
+"""Unit tests for bench.py's sampling protocol (no Spark, no subprocesses):
+steal/probe discard gates, top-up from least-contaminated discarded pairs,
+and the wall-clock deadline — the round-3 failure mode (rc 124, no JSON)
+must be structurally impossible."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def bench(monkeypatch):
+    spec = importlib.util.spec_from_file_location("bench_under_test",
+                                                  os.path.join(REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, "_materialize_corpus", lambda n: "/nonexistent")
+    return mod
+
+
+def _mk_runner(samples):
+    """samples: dict cores -> list of (docs_per_sec, steal, probe) served in
+    order; repeats the last one when exhausted."""
+    state = {c: 0 for c in samples}
+
+    def run(cores, n_docs, r, max_attempts=2):
+        i = min(state[cores], len(samples[cores]) - 1)
+        state[cores] += 1
+        dps, steal, probe = samples[cores][i]
+        return {"build_s": round(n_docs / dps, 2), "docs_per_sec": dps,
+                "steal_pct": steal, "probe_s": probe,
+                "query_p50_s": 0.5, "query_p99_s": 0.7, "n_queries": 20}
+    return run
+
+
+def test_clean_run_fills_sample(bench, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPEATS", "3")
+    monkeypatch.setenv("SPARK_GRAFT_WARMUP_PAIRS", "0")
+    monkeypatch.setattr(
+        bench, "_run_one_level",
+        _mk_runner({2: [(8000, 0.1, 1.0)], 8: [(26000, 0.1, 1.0)]}),
+    )
+    results, pairs, info = bench.run_scaling(500_000, [2, 8])
+    assert info["pairs_completed"] == 3 and info["topped_up_pairs"] == 0
+    assert not info["deadline_hit"]
+    assert results[2]["docs_per_sec"] == 8000
+
+
+def test_contaminated_pairs_discarded_then_topped_up(bench, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPEATS", "2")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_EXTRA_PAIRS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_WARMUP_PAIRS", "0")
+    # every pair breaches the steal cap -> all discarded -> retry budget
+    # (repeats+extra=3) exhausts -> topped up with the LEAST-stolen two
+    monkeypatch.setattr(
+        bench, "_run_one_level",
+        _mk_runner({2: [(8000, 0.1, 1.0)] * 3,
+                    8: [(20000, 5.0, 1.0), (22000, 2.0, 1.0), (21000, 9.0, 1.0)]}),
+    )
+    results, pairs, info = bench.run_scaling(500_000, [2, 8])
+    assert info["topped_up_pairs"] == 2 and info["pairs_completed"] == 2
+    # least-stolen first: the 2.0%- and 5.0%-steal pairs, never the 9.0%
+    steals = sorted(p[8]["steal_pct"] for p in pairs)
+    assert steals == [2.0, 5.0]
+
+
+def test_deadline_stops_loop_and_tops_up(bench, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPEATS", "5")
+    monkeypatch.setenv("SPARK_GRAFT_WARMUP_PAIRS", "0")
+    calls = {"n": 0}
+    real = _mk_runner({2: [(8000, 0.1, 9.9)], 8: [(20000, 0.1, 1.0)]})
+
+    def run(cores, n_docs, r, max_attempts=2):
+        calls["n"] += 1
+        if calls["n"] == 2:  # after the first pair completes, expire budget
+            monkeypatch.setattr(bench, "T0", time.time() - bench._deadline_s())
+        return real(cores, n_docs, r, max_attempts)
+
+    monkeypatch.setattr(bench, "_run_one_level", run)
+    # first pair is probe-contaminated (9.9 vs 1.0) -> discarded; budget
+    # then expires -> loop must stop AND the discarded pair must come back
+    results, pairs, info = bench.run_scaling(500_000, [2, 8])
+    assert info["deadline_hit"] is True
+    assert info["pairs_completed"] == 1 and info["topped_up_pairs"] == 1
+    assert calls["n"] == 2  # no pair started after expiry
+
+
+def test_all_levels_failing_raises(bench, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPEATS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_EXTRA_PAIRS", "0")
+    monkeypatch.setenv("SPARK_GRAFT_WARMUP_PAIRS", "0")
+    monkeypatch.setattr(bench, "_run_one_level", lambda *a, **k: None)
+    with pytest.raises(RuntimeError, match="failed every attempt"):
+        bench.run_scaling(500_000, [2, 8])

@@ -186,6 +186,38 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
             pa_[np.argsort(pk)]
         return round(time.time() - t0, 3)
 
+    def _cpu_set(spec: str) -> set[int]:
+        out: set[int] = set()
+        for part in spec.split(","):
+            if "-" in part:
+                lo, hi = part.split("-")
+                out.update(range(int(lo), int(hi) + 1))
+            else:
+                out.add(int(part))
+        return out
+
+    worker_cpu_set = _cpu_set(WORKER_CPUS[cores])
+
+    def cpu_stat():
+        """(worker-cpu steal ticks, worker-cpu total ticks, box steal, box
+        total). Steal is measured over the WORKER CPUs only: box-wide steal
+        averages the preemption over ~20 idle CPUs and can read 0.3% while
+        the 8 busy executor CPUs are losing 5% of their cycles (r4 observed:
+        a gate-clean run that built 4x slower)."""
+        w_steal = w_tot = b_steal = b_tot = 0
+        with open("/proc/stat") as f:
+            for line in f:
+                if not line.startswith("cpu"):
+                    break
+                name = line.split()[0]
+                vals = list(map(int, line.split()[1:]))
+                if name == "cpu":
+                    b_steal, b_tot = vals[7], sum(vals)
+                elif int(name[3:]) in worker_cpu_set:
+                    w_steal += vals[7]
+                    w_tot += sum(vals)
+        return w_steal, w_tot, b_steal, b_tot
+
     probe_pre = _mem_probe()
     with MiniCluster(cores=cores, worker_cpus=WORKER_CPUS[cores],
                      work_dir=cluster_dir, port=7200 + cores,
@@ -209,49 +241,70 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
                         url_col="url", n_shards=32, n_buckets=32, n_waves=1)
             shutil.rmtree(warm_dir, ignore_errors=True)
 
-        def cpu_stat():
-            f = open("/proc/stat").readline().split()
-            return int(f[8]), sum(map(int, f[1:]))
-
         # second probe, immediately before the timed build (see probe_pre)
         probe_post = _mem_probe()
         probe_s = min(probe_pre, probe_post)
 
-        s0, tot0 = cpu_stat()
+        s0, tot0, bs0, btot0 = cpu_stat()
         t0 = time.time()
         build_index(docs, idx_dir, url_col="url", n_shards=32, n_buckets=32,
                     n_waves=1)
         build_s = time.time() - t0
-        s1, tot1 = cpu_stat()
+        s1, tot1, bs1, btot1 = cpu_stat()
         steal_pct = round(100 * (s1 - s0) / max(1, tot1 - tot0), 2)
+        steal_box_pct = round(100 * (bs1 - bs0) / max(1, btot1 - btot0), 2)
+        # third probe, immediately AFTER the timed build (executors idle
+        # again): bounds the measurement window on its exit side. DRAM-
+        # neighbor pressure that arrives mid-build shows up here even when
+        # it never preempts a vCPU (steal stays clean); the entry-side
+        # min(pre, post) can't see it.
+        probe_after = _mem_probe()
         stage_s = {
             f"{r['stage']}:{r['unit']}": round(r["wall_ms"] / 1000, 2)
             for r in spark.read.parquet(os.path.join(idx_dir, "lineage")).collect()
         }
-        idx = FtsIndex.load(spark, idx_dir, cache=True)
-        idx.topk(queries[0], k=k, mode="any").collect()  # warm cache (untimed)
-        lat: list[float] = []
-        for q in queries:
-            t0 = time.time()
-            idx.topk(q, k=k, mode="any", method="wand").collect()
-            lat.append(time.time() - t0)
         res = {
             "build_s": round(build_s, 2),
             "docs_per_sec": round(n_docs / build_s, 1),
             "steal_pct": steal_pct,
+            "steal_box_pct": steal_box_pct,
             "probe_s": probe_s,
             "probe_pre_s": probe_pre,
             "probe_post_s": probe_post,
+            "probe_after_s": probe_after,
             "stage_s": stage_s,
-            "query_p50_s": round(statistics.median(lat), 3),
-            "query_p99_s": round(sorted(lat)[max(0, int(len(lat) * 0.99) - 1)], 3),
-            "n_queries": len(lat),
+            "query_p50_s": None,
+            "query_p99_s": None,
+            "n_queries": 0,
         }
+        # query latency is a per-LEVEL property of the built index, not a
+        # per-pair one: the parent asks for it on the first successful run
+        # of each level only (saves ~30-60s per pair -> more retry budget
+        # for the scaling protocol inside the wall-clock deadline)
+        if not os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
+            idx = FtsIndex.load(spark, idx_dir, cache=True)
+            idx.topk(queries[0], k=k, mode="any").collect()  # warm (untimed)
+            lat: list[float] = []
+            for q in queries:
+                t0 = time.time()
+                idx.topk(q, k=k, mode="any", method="wand").collect()
+                lat.append(time.time() - t0)
+            res.update({
+                "query_p50_s": round(statistics.median(lat), 3),
+                "query_p99_s": round(
+                    sorted(lat)[max(0, int(len(lat) * 0.99) - 1)], 3),
+                "n_queries": len(lat),
+            })
         spark.stop()
     shutil.rmtree(idx_dir, ignore_errors=True)
     shutil.rmtree(cluster_dir, ignore_errors=True)
     shutil.rmtree(f"/dev/shm/wise_bench_local_{cores}", ignore_errors=True)
     print(json.dumps(res), flush=True)
+
+
+# levels whose query-latency section already ran this bench (query latency
+# is measured once per level, on its first successful run)
+_QUERIES_DONE: set[int] = set()
 
 
 def _run_one_level(cores: int, n_docs: int, r: int, max_attempts: int = 2):
@@ -267,12 +320,14 @@ def _run_one_level(cores: int, n_docs: int, r: int, max_attempts: int = 2):
         # pin the driver process tree; the mini-cluster pins its own
         # worker to WORKER_CPUS independently
         cmd = ["taskset", "-c", DRIVER_CPUS] + cmd
+    env = {**os.environ, "SPARK_GRAFT_BENCH_DOCS": str(n_docs)}
+    if cores in _QUERIES_DONE:
+        env["SPARK_GRAFT_SKIP_QUERIES"] = "1"
     for attempt in range(max_attempts):
         budget = max(60.0, min(1200.0, _remaining()))
         try:
             p = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=budget,
-                env={**os.environ, "SPARK_GRAFT_BENCH_DOCS": str(n_docs)},
+                cmd, capture_output=True, text=True, timeout=budget, env=env,
             )
         except subprocess.TimeoutExpired:
             log(f"  scaling {cores}-core run{r} attempt{attempt} TIMED OUT "
@@ -285,9 +340,15 @@ def _run_one_level(cores: int, n_docs: int, r: int, max_attempts: int = 2):
             except ValueError:
                 log(f"  scaling {cores}-core run{r} attempt{attempt}: bad output")
                 continue
+            if res.get("query_p50_s") is not None:
+                _QUERIES_DONE.add(cores)
             log(f"  scaling {cores}-core run{r}: build {res['build_s']}s "
-                f"({res['docs_per_sec']} docs/s, steal {res['steal_pct']}%, "
-                f"probe {res.get('probe_s', '?')}s) p50 {res['query_p50_s']}s")
+                f"({res['docs_per_sec']} docs/s, steal {res['steal_pct']}%"
+                f"/box {res.get('steal_box_pct', '?')}%, "
+                f"probe {res.get('probe_s', '?')}s"
+                f"/exit {res.get('probe_after_s', '?')}s)"
+                + (f" p50 {res['query_p50_s']}s"
+                   if res.get("query_p50_s") is not None else ""))
             return res
         log(f"  scaling {cores}-core run{r} attempt{attempt} FAILED "
             f"(rc={p.returncode}): {p.stderr[-400:]}")
@@ -314,6 +375,7 @@ def run_scaling(n_docs: int, cores_list: list[int]):
     # first-pair efficiency 0.55 vs 0.70-0.82 for every later pair) — run
     # and LOG it, but keep it out of the reported samples. Skipped when the
     # remaining budget could not also fit a measured pair.
+    _QUERIES_DONE.update(cores_list)  # warmup pair: builds only, no queries
     for r in range(warmup_pairs):
         if _remaining() < 2 * est_pair_s:
             log(f"  skipping warmup pair (remaining budget {_remaining():.0f}s)")
@@ -322,6 +384,7 @@ def run_scaling(n_docs: int, cores_list: list[int]):
         for cores in cores_list:
             _run_one_level(cores, n_docs, r - warmup_pairs)
         est_pair_s = max(120.0, time.time() - tw0)
+    _QUERIES_DONE.clear()  # first MEASURED run per level measures latency
     # steal-aware sampling: host steal% is DIRECTLY measured around each
     # timed build (/proc/stat col 8). A pair where either level ran under
     # > 1% steal is a measurement of the HOST's neighbors, not this engine
@@ -360,17 +423,25 @@ def run_scaling(n_docs: int, cores_list: list[int]):
             continue
         worst_steal = max(p["steal_pct"] for p in pair.values())
         worst_probe = max(p.get("probe_s", 0.0) for p in pair.values())
+        # exit-side probe: contention that ARRIVES mid-build (clean entry
+        # probes, clean steal when it's DRAM-neighbor pressure) still shows
+        # in the probe taken right after the build finishes
+        worst_exit = max(
+            p.get("probe_after_s", p.get("probe_s", 0.0)) for p in pair.values()
+        )
         best_probe = min(
             (p.get("probe_s", worst_probe)
              for runs in runs_by_level.values() for p in runs),
             default=worst_probe,
         )
-        probe_bad = best_probe > 0 and worst_probe > probe_ratio * best_probe
-        if worst_steal > steal_cap or probe_bad:
+        entry_bad = best_probe > 0 and worst_probe > probe_ratio * best_probe
+        exit_bad = best_probe > 0 and worst_exit > probe_ratio * best_probe
+        if worst_steal > steal_cap or entry_bad or exit_bad:
             why = (f"host steal {worst_steal}% > {steal_cap}%"
                    if worst_steal > steal_cap else
-                   f"memory probe {worst_probe}s > {probe_ratio}x best "
-                   f"{best_probe}s")
+                   f"memory probe {worst_probe if entry_bad else worst_exit}s "
+                   f"({'entry' if entry_bad else 'exit'}) > {probe_ratio}x "
+                   f"best {best_probe}s")
             log(f"  pair discarded ({why}), retrying")
             discarded.append(pair)
             continue
@@ -398,6 +469,13 @@ def run_scaling(n_docs: int, cores_list: list[int]):
                "all_steal_pct": [x["steal_pct"] for x in runs],
                "all_probe_s": [x.get("probe_s") for x in runs],
                "best_docs_per_sec": max(x["docs_per_sec"] for x in runs)}
+        if med.get("query_p50_s") is None:
+            # query latency ran once per level — graft it onto the median run
+            src = next(
+                (x for x in runs if x.get("query_p50_s") is not None), None)
+            if src is not None:
+                med["query_p50_s"] = src["query_p50_s"]
+                med["query_p99_s"] = src["query_p99_s"]
         results[cores] = med
     return results, pairs, info
 
@@ -454,15 +532,19 @@ stats) over the identical deterministic synthetic corpus parquet
   identically at both levels but with a wider spread;
 * host-contaminated pairs are excluded by OBJECTIVE environment
   measurements taken around every timed build, never by the result itself:
-  (a) /proc/stat steal time > 1% = the hypervisor preempted these vCPUs
-  (observed: identical builds 4.5x slower at 5% steal), and (b) a fixed
-  ~1s random-access memory probe (argsort+gather), taken as the MIN of a
-  pre-cluster-spawn run (pure ambient signal) and a run immediately before
-  the timed build, > 1.3x the session's best probe = neighbor VMs are
-  saturating DRAM without preempting us (observed: a 3x-slow build at
-  0.47% steal). The min-of-two guards against the post-warmup probe being
-  polluted by our own just-spawned executors, of which the 4N level has
-  4x more.
+  (a) /proc/stat steal time over the WORKER CPUs ONLY > 1% = the
+  hypervisor preempted the executor vCPUs (observed: identical builds 4.5x
+  slower at 5% steal; box-wide steal dilutes the signal over ~20 idle CPUs
+  and once passed a 4x-slow run at 0.33%), and (b) a fixed ~1s
+  random-access memory probe (argsort+gather) bounding the window on BOTH
+  sides: the ENTRY probe is the MIN of a pre-cluster-spawn run (pure
+  ambient signal) and a run immediately before the timed build (min-of-two
+  guards against pollution by our own just-spawned executors, of which the
+  4N level has 4x more); the EXIT probe runs immediately after the build
+  (executors idle again) and catches DRAM-neighbor pressure that ARRIVED
+  mid-build — which preempts nothing (steal stays clean) and is invisible
+  to entry-side probes. Either probe > 1.3x the session's best = discarded
+  (observed: a 3x-slow build at 0.47% steal).
   Discarded pairs stay in the raw-sample lists below and are replaced by
   retry pairs from a bounded budget; if the budget exhausts, the
   least-contaminated discarded pairs top the sample back up;
@@ -473,7 +555,8 @@ stats) over the identical deterministic synthetic corpus parquet
   exactly as a cluster resize would.
 
 Query latency is block-max WAND top-10 over the 20-query reference set on
-the cached index.
+the cached index, measured once per level (on its first measured run —
+latency is a property of the built index, not of the pair).
 
 | level | build wall (s) | build docs/sec (median) | all runs (docs/sec) | query p50 (s) | query p99 (s) |
 |---|---|---|---|---|---|
@@ -571,6 +654,40 @@ def main() -> None:
             "deadline_hit": info.get("deadline_hit", False),
             "topped_up_pairs": info.get("topped_up_pairs", 0),
         })
+        # protocol journal: every COMPLETED protocol run (this one included)
+        # is appended to BENCH_evidence.jsonl with its full gate telemetry,
+        # and recent prior entries ride along in the final JSON — so one
+        # contended official window cannot erase clean evidence gathered
+        # earlier, and a clean official window is corroborated by history.
+        evid_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_evidence.jsonl"
+        )
+        try:
+            prior = []
+            if os.path.exists(evid_path):
+                with open(evid_path) as f:
+                    prior = [json.loads(ln) for ln in f if ln.strip()]
+            record = {
+                "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "n_docs": n_docs,
+                "scaling_efficiency": effs,
+                "scaling_efficiency_pairs": effs_pairs,
+                "scaling_efficiency_best": effs_best,
+                "docs_per_sec": {str(c): r["all_docs_per_sec"]
+                                 for c, r in scaling.items()},
+                "steal_pct": {str(c): r["all_steal_pct"]
+                              for c, r in scaling.items()},
+                "probe_s": {str(c): r.get("all_probe_s", [])
+                            for c, r in scaling.items()},
+                "pairs_completed": info.get("pairs_completed", len(pairs)),
+                "topped_up_pairs": info.get("topped_up_pairs", 0),
+                "deadline_hit": info.get("deadline_hit", False),
+            }
+            with open(evid_path, "a") as f:
+                f.write(json.dumps(record) + "\n")
+            out["prior_protocols"] = prior[-4:]
+        except (OSError, ValueError) as e:
+            log(f"  evidence journal skipped: {e!r}")
     except Exception as e:  # noqa: BLE001 — emit evidence no matter what
         log(f"== scaling section FAILED: {e!r} ==")
         out.update({"scaling_error": repr(e), "contended": True})

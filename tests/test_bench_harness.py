@@ -91,6 +91,29 @@ def test_deadline_stops_loop_and_tops_up(bench, monkeypatch):
     assert calls["n"] == 2  # no pair started after expiry
 
 
+def test_exit_probe_gate_discards_midbuild_contention(bench, monkeypatch):
+    """Contention that arrives MID-build: entry probes and steal are clean,
+    only the post-build exit probe sees it — the pair must be discarded and
+    replaced by the later clean pair."""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPEATS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_EXTRA_PAIRS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_WARMUP_PAIRS", "0")
+    runner = _mk_runner({2: [(8000, 0.1, 1.0)] * 2,
+                         8: [(5000, 0.1, 1.0), (26000, 0.1, 1.0)]})
+
+    def run(cores, n_docs, r, max_attempts=2):
+        res = runner(cores, n_docs, r, max_attempts)
+        # first 8-core run: clean entry, poisoned exit (neighbor arrived
+        # during the build and tanked docs_per_sec to 5000)
+        res["probe_after_s"] = 4.0 if (cores == 8 and res["docs_per_sec"] == 5000) else 1.0
+        return res
+
+    monkeypatch.setattr(bench, "_run_one_level", run)
+    results, pairs, info = bench.run_scaling(500_000, [2, 8])
+    assert info["pairs_completed"] == 1 and info["topped_up_pairs"] == 0
+    assert pairs[0][8]["docs_per_sec"] == 26000
+
+
 def test_all_levels_failing_raises(bench, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_BENCH_REPEATS", "1")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_EXTRA_PAIRS", "0")

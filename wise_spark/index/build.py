@@ -555,6 +555,46 @@ def _merge_partition_fn(avgdl: float, with_positions: bool = False):
     return merge
 
 
+def _write_terms_driver_side(segments_path: str, terms_path: str,
+                             n_files: int) -> None:
+    """Stage D fast path: exact df(term) aggregation on the driver with
+    pyarrow, for segment tables under DRIVER_STATS_MAX_ROWS rows. Content is
+    identical to the Spark path — (term, df, max_tfc) globally sorted by term
+    and sliced into `n_files` contiguous range files so query-term lookups
+    prune on parquet min/max statistics. Publishes atomically (tmp dir +
+    os.replace) with a _SUCCESS marker, like every other stage commit."""
+    import shutil as _shutil
+
+    import pyarrow as pa
+    import pyarrow.dataset as _ds
+    import pyarrow.parquet as _pqw
+
+    schema = pa.schema([("term", pa.string()), ("df", pa.int64()),
+                        ("max_tfc", pa.float64())])
+    t = (
+        _ds.dataset(segments_path, format="parquet")
+        .to_table(columns=["term", "n", "max_tfc"])
+        .group_by("term")
+        .aggregate([("n", "sum"), ("max_tfc", "max")])
+        .select(["term", "n_sum", "max_tfc_max"])
+        .rename_columns(["term", "df", "max_tfc"])
+        .sort_by("term")
+        .cast(schema)
+    )
+    tmp = terms_path + "_tmp"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    n = t.num_rows
+    step = max(1, -(-n // n_files))
+    for i, lo in enumerate(range(0, max(1, n), step)):
+        _pqw.write_table(t.slice(lo, step), os.path.join(tmp, f"part-{i:05d}.parquet"),
+                         row_group_size=65536)
+    with open(os.path.join(tmp, "_SUCCESS"), "w"):
+        pass
+    _shutil.rmtree(terms_path, ignore_errors=True)
+    os.replace(tmp, terms_path)
+
+
 def _permute(ids, tfs, dls, pos, order):
     """Reorder postings by `order`; position BLOCKS (variable length, tf each)
     move with their posting via a vectorized block gather. Offset arithmetic
@@ -824,23 +864,43 @@ def build_index(
     # ---- Stage D: exact term df table (range-partitioned, sorted) -----------
     if not (resume and _done(terms_path)):
         t0 = time.time()
-        terms = (
-            spark.read.parquet(segments_path)
-            .groupBy("term")
-            .agg(F.sum("n").alias("df"), F.max("max_tfc").alias("max_tfc"))
-            # checkpoint BEFORE repartitionByRange: its range sampler is a
-            # separate job, so without this the (term) aggregation over the
-            # segments scan runs TWICE (sample + write) — a pure fixed cost
-            # that does not shrink with executors. Blocks are freed by the
-            # ContextCleaner when the relation goes out of scope below.
-            .localCheckpoint(eager=True)
+        # segments row count (one row per (shard, term)) from footers — free
+        seg_rows = sum(
+            _pq.ParquetFile(os.path.join(dp, fn)).metadata.num_rows
+            for dp, _, fns in os.walk(segments_path)
+            for fn in fns
+            if fn.endswith(".parquet")
         )
-        (
-            terms.repartitionByRange(max(2, n_buckets // 4), "term")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .parquet(terms_path)
-        )
+        if seg_rows <= DRIVER_STATS_MAX_ROWS:
+            # Driver-side pyarrow fast path (same bounded-memory guard as the
+            # corpus stats above): Stage D is a pure FIXED cost — it reads 3
+            # thin columns of a small table and does not shrink with
+            # executors, so at bench scale the three Spark jobs (agg +
+            # range-sampler + write) cost more in scheduling than the work.
+            # The output is byte-equivalent in content: (term, df, max_tfc)
+            # sorted by term, sliced into the same number of range files for
+            # parquet min/max pruning on query terms.
+            _write_terms_driver_side(segments_path, terms_path,
+                                     max(2, n_buckets // 4))
+        else:
+            terms = (
+                spark.read.parquet(segments_path)
+                .groupBy("term")
+                .agg(F.sum("n").alias("df"), F.max("max_tfc").alias("max_tfc"))
+                # checkpoint BEFORE repartitionByRange: its range sampler is
+                # a separate job, so without this the (term) aggregation over
+                # the segments scan runs TWICE (sample + write) — a pure
+                # fixed cost that does not shrink with executors. Blocks are
+                # freed by the ContextCleaner when the relation goes out of
+                # scope below.
+                .localCheckpoint(eager=True)
+            )
+            (
+                terms.repartitionByRange(max(2, n_buckets // 4), "term")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(terms_path)
+            )
         _append_lineage(
             spark, index_dir,
             [("terms", "-", "done", 0, 0, int((time.time() - t0) * 1000))],

@@ -160,3 +160,48 @@ def test_hydrate_pushes_isin_into_doc_map_scan(index):
     want = {r["doc_id"]: r["score"] for r in res.collect()}
     assert {int(r.doc_id): r.score for r in got.itertuples()} == want
     assert got["url"].notna().all()
+
+
+def test_terms_driver_side_writer(tmp_path):
+    """Stage D fast path (no Spark): aggregates (term, n, max_tfc) from the
+    segments parquet into sorted range files with df summed across shards,
+    identical content to the Spark groupBy path; empty segments produce an
+    empty typed table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wise_spark.index.build import _write_terms_driver_side
+
+    seg_dir = tmp_path / "segments" / "wave=0"
+    seg_dir.mkdir(parents=True)
+    t = pa.table({
+        "term": ["b", "a", "b", "c"],
+        "shard": pa.array([0, 1, 1, 0], pa.int32()),
+        "n": pa.array([3, 5, 2, 1], pa.int64()),
+        "max_tfc": pa.array([1.5, 2.0, 4.5, 0.5], pa.float64()),
+    })
+    pq.write_table(t, seg_dir / "part-0.parquet")
+    out = tmp_path / "terms"
+    _write_terms_driver_side(str(tmp_path / "segments"), str(out), n_files=2)
+    assert (out / "_SUCCESS").exists()
+    files = sorted(out.glob("*.parquet"))
+    assert len(files) == 2  # 3 terms sliced into 2 range files
+    got = pa.concat_tables([pq.read_table(f) for f in files])
+    assert got.column_names == ["term", "df", "max_tfc"]
+    assert got.schema.field("df").type == pa.int64()
+    assert got.column("term").to_pylist() == ["a", "b", "c"]
+    assert got.column("df").to_pylist() == [5, 5, 1]
+    assert got.column("max_tfc").to_pylist() == [2.0, 4.5, 0.5]
+    # range files: min/max of term do not overlap across files (pruning)
+    maxes = [pq.read_table(f).column("term").to_pylist() for f in files]
+    assert max(maxes[0]) <= min(maxes[1])
+
+    # empty segments -> one empty, correctly-typed file
+    empty_dir = tmp_path / "segments_empty"
+    empty_dir.mkdir()
+    pq.write_table(t.slice(0, 0), empty_dir / "part-0.parquet")
+    out2 = tmp_path / "terms_empty"
+    _write_terms_driver_side(str(empty_dir), str(out2), n_files=4)
+    got2 = pq.read_table(sorted(out2.glob("*.parquet"))[0])
+    assert got2.num_rows == 0
+    assert got2.column_names == ["term", "df", "max_tfc"]

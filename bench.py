@@ -218,7 +218,39 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
                     w_tot += sum(vals)
         return w_steal, w_tot, b_steal, b_tot
 
+    def _worker_cpu_probe() -> float:
+        """Effective speed of the WORKER CPUs themselves: a ~1s pinned
+        argsort+gather on the FIRST worker CPU (same CPU at both levels).
+        Contention local to the worker cores — SMT-sibling pressure,
+        per-core frequency throttling — is invisible to the _mem_probe
+        running on the driver CPUs (r4 observed: a 3x-slow 8-core build
+        with steal 0.06% and driver-side probes within 1.2x of best).
+        Timed inside the child, after imports."""
+        import subprocess
+
+        cpu0 = WORKER_CPUS[cores].split("-")[0].split(",")[0]
+        code = (
+            "import numpy as np, time\n"
+            "rng = np.random.default_rng(54321)\n"
+            "a = rng.integers(0, 1 << 40, 2_000_000)\n"
+            "k = rng.integers(0, 1 << 40, 2_000_000)\n"
+            "np.argsort(k)\n"
+            "t = time.time()\n"
+            "for _ in range(4):\n"
+            "    a[np.argsort(k)]\n"
+            "print(round(time.time() - t, 3))\n"
+        )
+        cmd = [sys.executable, "-c", code]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", cpu0] + cmd
+        try:
+            p = subprocess.run(cmd, capture_output=True, text=True, timeout=90)
+            return float(p.stdout.strip())
+        except (ValueError, subprocess.TimeoutExpired):
+            return -1.0
+
     probe_pre = _mem_probe()
+    wprobe_pre = _worker_cpu_probe()
     with MiniCluster(cores=cores, worker_cpus=WORKER_CPUS[cores],
                      work_dir=cluster_dir, port=7200 + cores,
                      local_dirs=f"/dev/shm/wise_bench_local_{cores}") as mc:
@@ -259,6 +291,7 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
         # it never preempts a vCPU (steal stays clean); the entry-side
         # min(pre, post) can't see it.
         probe_after = _mem_probe()
+        wprobe_after = _worker_cpu_probe()
         stage_s = {
             f"{r['stage']}:{r['unit']}": round(r["wall_ms"] / 1000, 2)
             for r in spark.read.parquet(os.path.join(idx_dir, "lineage")).collect()
@@ -272,6 +305,8 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
             "probe_pre_s": probe_pre,
             "probe_post_s": probe_post,
             "probe_after_s": probe_after,
+            "wprobe_pre_s": wprobe_pre,
+            "wprobe_after_s": wprobe_after,
             "stage_s": stage_s,
             "query_p50_s": None,
             "query_p99_s": None,
@@ -346,7 +381,9 @@ def _run_one_level(cores: int, n_docs: int, r: int, max_attempts: int = 2):
                 f"({res['docs_per_sec']} docs/s, steal {res['steal_pct']}%"
                 f"/box {res.get('steal_box_pct', '?')}%, "
                 f"probe {res.get('probe_s', '?')}s"
-                f"/exit {res.get('probe_after_s', '?')}s)"
+                f"/exit {res.get('probe_after_s', '?')}s"
+                f"/wcpu {res.get('wprobe_pre_s', '?')}-"
+                f"{res.get('wprobe_after_s', '?')}s)"
                 + (f" p50 {res['query_p50_s']}s"
                    if res.get("query_p50_s") is not None else ""))
             return res
@@ -436,12 +473,28 @@ def run_scaling(n_docs: int, cores_list: list[int]):
         )
         entry_bad = best_probe > 0 and worst_probe > probe_ratio * best_probe
         exit_bad = best_probe > 0 and worst_exit > probe_ratio * best_probe
-        if worst_steal > steal_cap or entry_bad or exit_bad:
-            why = (f"host steal {worst_steal}% > {steal_cap}%"
-                   if worst_steal > steal_cap else
-                   f"memory probe {worst_probe if entry_bad else worst_exit}s "
-                   f"({'entry' if entry_bad else 'exit'}) > {probe_ratio}x "
-                   f"best {best_probe}s")
+        # worker-CPU probe (pinned to the first worker CPU): senses
+        # core-local contention the driver-CPU probes can't
+        wp_all = [v for runs in runs_by_level.values() for x in runs
+                  for v in (x.get("wprobe_pre_s"), x.get("wprobe_after_s"))
+                  if v is not None and v > 0]
+        best_wp = min(wp_all, default=0.0)
+        worst_wp = max(
+            (max(p.get("wprobe_pre_s") or 0.0, p.get("wprobe_after_s") or 0.0)
+             for p in pair.values()),
+            default=0.0,
+        )
+        wp_bad = best_wp > 0 and worst_wp > probe_ratio * best_wp
+        if worst_steal > steal_cap or entry_bad or exit_bad or wp_bad:
+            if worst_steal > steal_cap:
+                why = f"host steal {worst_steal}% > {steal_cap}%"
+            elif entry_bad or exit_bad:
+                why = (f"memory probe {worst_probe if entry_bad else worst_exit}s "
+                       f"({'entry' if entry_bad else 'exit'}) > {probe_ratio}x "
+                       f"best {best_probe}s")
+            else:
+                why = (f"worker-cpu probe {worst_wp}s > {probe_ratio}x "
+                       f"best {best_wp}s")
             log(f"  pair discarded ({why}), retrying")
             discarded.append(pair)
             continue
@@ -451,7 +504,10 @@ def run_scaling(n_docs: int, cores_list: list[int]):
         # with the LEAST-stolen discarded pairs (still real samples, just
         # flagged) so the median is computed over the best available evidence
         discarded.sort(key=lambda p: (
-            max(x.get("probe_s", 0.0) for x in p.values()),
+            max(max(x.get("probe_s", 0.0),
+                    x.get("probe_after_s", 0.0)) for x in p.values()),
+            max(max(x.get("wprobe_pre_s") or 0.0,
+                    x.get("wprobe_after_s") or 0.0) for x in p.values()),
             max(x["steal_pct"] for x in p.values()),
         ))
         fill = discarded[: repeats - len(pairs)]
@@ -544,7 +600,12 @@ stats) over the identical deterministic synthetic corpus parquet
   (executors idle again) and catches DRAM-neighbor pressure that ARRIVED
   mid-build — which preempts nothing (steal stays clean) and is invisible
   to entry-side probes. Either probe > 1.3x the session's best = discarded
-  (observed: a 3x-slow build at 0.47% steal).
+  (observed: a 3x-slow build at 0.47% steal). A third probe pinned to the
+  FIRST WORKER CPU (same CPU at both levels, before cluster spawn and
+  after the build) senses contention local to the executor cores —
+  SMT-sibling pressure and per-core throttling are invisible to probes
+  running on the driver CPUs (observed: a 3x-slow 8-core build with 0.06%
+  steal and driver probes within 1.2x of best).
   Discarded pairs stay in the raw-sample lists below and are replaced by
   retry pairs from a bounded budget; if the budget exhausts, the
   least-contaminated discarded pairs top the sample back up;

@@ -114,6 +114,28 @@ def test_exit_probe_gate_discards_midbuild_contention(bench, monkeypatch):
     assert pairs[0][8]["docs_per_sec"] == 26000
 
 
+def test_worker_cpu_probe_gate(bench, monkeypatch):
+    """Core-local contention on the worker CPUs: driver-side probes and
+    steal clean, only the worker-CPU-pinned probe elevated — discarded."""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPEATS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_EXTRA_PAIRS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_WARMUP_PAIRS", "0")
+    runner = _mk_runner({2: [(8000, 0.1, 1.0)] * 2,
+                         8: [(7000, 0.1, 1.0), (26000, 0.1, 1.0)]})
+
+    def run(cores, n_docs, r, max_attempts=2):
+        res = runner(cores, n_docs, r, max_attempts)
+        slow = cores == 8 and res["docs_per_sec"] == 7000
+        res["wprobe_pre_s"] = 1.0
+        res["wprobe_after_s"] = 3.5 if slow else 1.0
+        return res
+
+    monkeypatch.setattr(bench, "_run_one_level", run)
+    results, pairs, info = bench.run_scaling(500_000, [2, 8])
+    assert info["pairs_completed"] == 1 and info["topped_up_pairs"] == 0
+    assert pairs[0][8]["docs_per_sec"] == 26000
+
+
 def test_all_levels_failing_raises(bench, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_BENCH_REPEATS", "1")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_EXTRA_PAIRS", "0")

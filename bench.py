@@ -72,8 +72,8 @@ def log(msg: str) -> None:
 def _mem_probe() -> float:
     """Fixed ~1s random-access memory workload (argsort+gather): the box-wide
     contended resource is DRAM bandwidth, which neighbor VMs can saturate
-    WITHOUT any steal time. Quiet-host reference on this box: ~3.3-3.7 s;
-    observed 5-8.5 s under neighbor pressure."""
+    WITHOUT any steal time. Quiet-host reference on this box: ~1.5 s;
+    observed 3.4-8.5 s under neighbor pressure."""
     import numpy as np
 
     rng = np.random.default_rng(12345)
@@ -86,16 +86,59 @@ def _mem_probe() -> float:
     return round(time.time() - t0, 3)
 
 
-def _box_steal_sample(window_s: float = 5.0) -> float:
-    """Box-wide steal%% over a short window (/proc/stat col 8). Cheap,
-    objective hypervisor-preemption signal — r4 observed a window at 9.2%%
-    box steal where 1.3 s headline queries ran 28 s."""
+def _box_steal_sample(window_s: float = 5.0, loaded: bool = True,
+                      load_cpus: str = "4-11") -> float:
+    """Steal%% over a short window (/proc/stat col 8), measured over the
+    worker CPUs WHILE pinned spinner processes keep them busy.
+
+    The load matters: this host is CPU-oversubscribed, and the hypervisor
+    only preempts vCPUs that are actually running — an idle box reads 0%%
+    steal while the very next 8-core build gets 6-8%% stolen (r4 observed:
+    idle-sampled 'quiet' windows followed immediately by 5.9-7.9%% steal on
+    every 8-core run, with the narrow 2-core runs staying clean). Spinning
+    the worker CPU set for the sample window reproduces the build's
+    footprint and makes oversubscription visible BEFORE a 4-minute build is
+    burned on it. Falls back to box-wide idle sampling when taskset is
+    unavailable."""
+    import subprocess
+
+    cpus: list[str] = []
+    for part in load_cpus.split(","):
+        if "-" in part:
+            lo, hi = part.split("-")
+            cpus.extend(str(i) for i in range(int(lo), int(hi) + 1))
+        else:
+            cpus.append(part)
+    procs = []
+    if loaded and shutil.which("taskset"):
+        spin = (f"import time\nt=time.time()+{window_s + 0.5}\n"
+                "while time.time()<t: pass\n")
+        for c in cpus:
+            procs.append(subprocess.Popen(
+                ["taskset", "-c", c, sys.executable, "-c", spin],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
+        time.sleep(0.3)  # let the spinners reach their loops
+
     def snap():
-        vals = list(map(int, open("/proc/stat").readline().split()[1:]))
-        return vals[7], sum(vals)
+        w_steal = w_tot = b_steal = b_tot = 0
+        with open("/proc/stat") as f:
+            for line in f:
+                if not line.startswith("cpu"):
+                    break
+                name = line.split()[0]
+                vals = list(map(int, line.split()[1:]))
+                if name == "cpu":
+                    b_steal, b_tot = vals[7], sum(vals)
+                elif name[3:] in cpus:
+                    w_steal += vals[7]
+                    w_tot += sum(vals)
+        return (w_steal, w_tot) if procs else (b_steal, b_tot)
+
     s0, t0 = snap()
     time.sleep(window_s)
     s1, t1 = snap()
+    for p in procs:
+        p.wait()
     return round(100 * (s1 - s0) / max(1, t1 - t0), 2)
 
 
@@ -108,9 +151,11 @@ def wait_for_quiet(section: str, max_wait_s: float | None = None,
     discarding pairs; round 4 observed 10-20x headline slowdowns at 9%% box
     steal. Waiting out the window — bounded, and never past a point that
     endangers the remaining wall-clock budget — converts that burned budget
-    into clean samples. Polls box steal over 5 s windows; returns as soon
-    as two consecutive windows are under `steal_cap`%%, or when the wait
-    budget expires (measurement then proceeds, flagged by the caller's
+    into clean samples. Polls steal over 5 s windows measured UNDER LOAD
+    (pinned spinners on the worker CPU set — idle sampling reads 0%% on an
+    oversubscribed host whose next wide build gets 6-8%% stolen); returns
+    as soon as two consecutive windows are under `steal_cap`%%, or when the
+    wait budget expires (measurement then proceeds, flagged by the caller's
     existing per-pair gates). Returns telemetry for the final JSON."""
     if max_wait_s is None:
         max_wait_s = float(os.environ.get("SPARK_GRAFT_WAIT_QUIET_S", "900"))
@@ -511,6 +556,11 @@ def run_scaling(n_docs: int, cores_list: list[int]):
                 info["deadline_hit"] = True
                 break
         attempts += 1
+        # 10s loaded pre-check: spinning the worker CPU set makes neighbor
+        # oversubscription visible BEFORE an 8-minute pair is burned on it
+        # (idle sampling reads 0% steal on this box while the very next
+        # wide build gets 6-8% stolen). Returns immediately when quiet.
+        wait_for_quiet(f"pair-{r}")
         tp0 = time.time()
         pair = {}
         for cores in cores_list:
@@ -562,10 +612,9 @@ def run_scaling(n_docs: int, cores_list: list[int]):
                        f"best {best_wp}s")
             log(f"  pair discarded ({why}), retrying")
             discarded.append(pair)
-            # don't burn the retry inside the same contention window —
-            # back-to-back retries in one bad stretch are exactly how the
-            # round-3 bench ate its whole budget without one clean pair
-            wait_for_quiet("scaling-retry")
+            # the loop-top loaded pre-check keeps the retry out of the same
+            # contention window — back-to-back retries in one bad stretch
+            # are exactly how the round-3 bench ate its whole budget
             continue
         pairs.append(pair)
     if len(pairs) < repeats and discarded:
@@ -655,6 +704,16 @@ stats) over the identical deterministic synthetic corpus parquet
 * one UNTIMED warmup pair runs first (JMH warmup-iteration practice): the
   first pair after idle consistently measures OS page-cache/JIT cold state,
   identically at both levels but with a wider spread;
+* a LOADED steal gate runs before the protocol and before every pair:
+  pinned spinner processes keep the worker CPU set busy while steal is
+  sampled over 5 s windows, and the pair only starts after two consecutive
+  clean windows (bounded wait, never past half the remaining wall-clock
+  budget). The load is the point — this host is CPU-oversubscribed, the
+  hypervisor only preempts RUNNING vCPUs, so idle sampling reads ~0% steal
+  in windows where the very next 8-CPU build gets 6-8% stolen (observed
+  r4: three consecutive 8-core runs at 5.9-7.9% steal, each launched after
+  an idle-sampled "quiet" reading, while the narrow 2-core runs stayed
+  clean);
 * host-contaminated pairs are excluded by OBJECTIVE environment
   measurements taken around every timed build, never by the result itself:
   (a) /proc/stat steal time over the WORKER CPUs ONLY > 1% = the
@@ -739,7 +798,7 @@ def main() -> None:
         vals = list(map(int, open("/proc/stat").readline().split()[1:]))
         return vals[7], sum(vals)
 
-    quiet_ref = float(os.environ.get("SPARK_GRAFT_QUIET_PROBE_S", "4.2"))
+    quiet_ref = float(os.environ.get("SPARK_GRAFT_QUIET_PROBE_S", "2.0"))
     hl_passes: list[dict[str, float]] = []
     hl_probes: list[list[float]] = []
     hl_steals: list[float] = []

@@ -813,7 +813,7 @@ def main() -> None:
         log(f"  headline pass {hl_attempt}: box steal {hl_steals[-1]}%, "
             f"probes {p_pre}/{p_post}s (quiet ref {quiet_ref}s)")
         clean = (hl_steals[-1] <= 1.0 and min(p_pre, p_post) <= quiet_ref)
-        if clean or _remaining() < 0.7 * _deadline_s():
+        if clean or hl_attempt == 1 or _remaining() < 0.7 * _deadline_s():
             break
         log("  headline window contaminated by probe — one retry after "
             "a quiet wait")

@@ -495,6 +495,8 @@ def _run_one_level(cores: int, n_docs: int, r: int, max_attempts: int = 2):
                 f"{res.get('wprobe_after_s', '?')}s)"
                 + (f" p50 {res['query_p50_s']}s"
                    if res.get("query_p50_s") is not None else ""))
+            log(f"    stages: " + ", ".join(
+                f"{k}={v}s" for k, v in sorted(res.get("stage_s", {}).items())))
             return res
         log(f"  scaling {cores}-core run{r} attempt{attempt} FAILED "
             f"(rc={p.returncode}): {p.stderr[-400:]}")

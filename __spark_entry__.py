@@ -776,6 +776,40 @@ def q_eval_map_bm25(spark, sf_dir):
     ).orderBy("query_id")
 
 
+def q_eval_ndcg_bm25(spark, sf_dir):
+    """nDCG@10 of the BM25 any-mode top-50 ranking, judged against exact
+    all-terms-present relevance — same harness as eval_map_bm25, standard
+    binary-relevance Järvelin-Kekäläinen DCG with the ideal DCG computed
+    from the TOTAL relevant count (missing relevant items are penalized)."""
+    from wise_spark.eval import ndcg_at_k
+    from wise_spark.query.naive import score_query
+    from wise_spark.query.search import ranked
+
+    corpus = _ft_corpus(spark, sf_dir)
+    res_parts, truth_parts = [], []
+    for qid, q in _EVAL_QUERIES:
+        scored = score_query(corpus, q, "any").withColumn(
+            "score", F.round("score", 9)
+        )
+        res_parts.append(
+            ranked(scored, 50).select(F.lit(qid).alias("query_id"), "doc_id", "rank")
+        )
+        truth_parts.append(
+            score_query(corpus, q, "all").select(F.lit(qid).alias("query_id"), "doc_id")
+        )
+    results = res_parts[0]
+    for x in res_parts[1:]:
+        results = results.unionByName(x)
+    truth = truth_parts[0]
+    for x in truth_parts[1:]:
+        truth = truth.unionByName(x)
+    return (
+        ndcg_at_k(results, truth, 10)
+        .select("query_id", F.round("ndcg", 9).alias("ndcg"))
+        .orderBy("query_id")
+    )
+
+
 def q_ann_lsh_recall(spark, sf_dir):
     """Recall@10 of LSH-bucketed cosine top-k vs exact cosine top-k, per
     query — the eval table the reference publishes for IVF vs exact
@@ -847,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_ordered_lookup": q_rel_ordered_lookup,
         "emb_norms": q_emb_norms,
         "eval_map_bm25": q_eval_map_bm25,
+        "eval_ndcg_bm25": q_eval_ndcg_bm25,
         "ann_lsh_recall": q_ann_lsh_recall,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_customers": q_rel_top_customers,
@@ -1108,6 +1143,35 @@ nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM truth GROUP BY 
 SELECT n.query_id, round(coalesce(p.ap_num, 0) / n.n_rel, 9) AS ap,
        n.n_rel, coalesce(p.n_retrieved_rel, 0) AS n_retrieved_rel
 FROM nrel n LEFT JOIN perq p USING(query_id) ORDER BY query_id
+"""
+    sqls["eval_ndcg_bm25"] = f"""
+WITH {_TOK_CTE}, {_eval_ctes},
+res AS ({_res_u}),
+truth AS ({_truth_u}),
+rel AS (
+  SELECT r.query_id, r.rank,
+         CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+  FROM res r LEFT JOIN truth t ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+),
+w AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id ORDER BY rank) AS k
+  FROM rel
+),
+dcg AS (
+  SELECT query_id, sum(rel / log2(k + 1)) AS dcg
+  FROM w WHERE k <= 10 GROUP BY query_id
+),
+nrel AS (SELECT query_id, count(*) AS n_rel FROM truth GROUP BY query_id),
+idcg AS (
+  SELECT query_id, sum(1.0 / log2(i + 1)) AS idcg
+  FROM (SELECT query_id, unnest(generate_series(1, least(10, n_rel))) AS i
+        FROM nrel)
+  GROUP BY query_id
+)
+SELECT n.query_id, round(coalesce(d.dcg, 0) / i.idcg, 9) AS ndcg
+FROM nrel n JOIN idcg i USING(query_id) LEFT JOIN dcg d USING(query_id)
+ORDER BY n.query_id
 """
     from wise_spark.pipeline.similarity import _hyperplanes
     _dvec = "list_transform(embedding, x -> CAST(x AS DOUBLE))"

@@ -9,7 +9,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from wise_spark.eval import average_precision, mean_average_precision, recall_at_k
+from wise_spark.eval import (
+    average_precision,
+    mean_average_precision,
+    ndcg_at_k,
+    recall_at_k,
+)
 
 
 @pytest.fixture()
@@ -45,6 +50,26 @@ def test_map_and_recall(spark, ranked_results, truth):
     assert rec[0] == pytest.approx(1.0 / 3.0)  # only doc 1 within top-2
     assert rec[1] == pytest.approx(1.0)
     assert rec[2] == 0.0
+
+
+def test_ndcg_hand_computed(spark, ranked_results, truth):
+    import math
+
+    log2 = lambda x: math.log2(x)  # noqa: E731
+    nd = {r["query_id"]: r["ndcg"] for r in ndcg_at_k(ranked_results, truth, 2).collect()}
+    # q0 top-2 = [1, 2], rel = [1, 0] -> DCG = 1/log2(2) = 1
+    # IDCG@2 with n_rel=3 -> 1/log2(2) + 1/log2(3)
+    assert nd[0] == pytest.approx(1.0 / (1.0 + 1.0 / log2(3)))
+    # q1 top-2 = [10, 11], rel = [0, 1] -> DCG = 1/log2(3); IDCG (n_rel=1) = 1
+    assert nd[1] == pytest.approx(1.0 / log2(3))
+    # q2: nothing retrieved -> 0
+    assert nd[2] == 0.0
+    # perfect ranking scores exactly 1.0
+    perfect = spark.createDataFrame(
+        [(0, 1, 0), (0, 3, 1), (0, 99, 2)], "query_id long, doc_id long, rank long"
+    )
+    t0 = truth.filter(F.col("query_id") == 0)
+    assert ndcg_at_k(perfect, t0, 3).collect()[0]["ndcg"] == pytest.approx(1.0)
 
 
 def test_overlap_join_matches_brute_force(spark):

@@ -1,4 +1,4 @@
-"""Retrieval evaluation: Recall@K and mean Average Precision.
+"""Retrieval evaluation: Recall@K, mean Average Precision, nDCG@K.
 
 Metric semantics follow the reference's evaluation harness
 (/root/reference/scripts/eval/EpicKitchens-100/retrieval_eval.py:29-68,
@@ -70,6 +70,45 @@ def mean_average_precision(results: DataFrame, truth: DataFrame) -> DataFrame:
     """One row: (map, n_queries). Mean over every query in `truth`."""
     return average_precision(results, truth).agg(
         F.avg("ap").alias("map"), F.count(F.lit(1)).alias("n_queries")
+    )
+
+
+def ndcg_at_k(results: DataFrame, truth: DataFrame, k: int) -> DataFrame:
+    """(query_id, ndcg) — normalized discounted cumulative gain at k with
+    binary relevance (standard Järvelin-Kekäläinen formulation):
+
+        DCG@k  = sum_{i<=k} rel(i) / log2(i + 1)      (i is 1-based rank)
+        IDCG@k = sum_{i<=min(k, n_rel)} 1 / log2(i + 1)
+
+    The ideal DCG uses the TOTAL relevant count from `truth` (like the mAP
+    above): a top-k list is penalized for relevant items it never returned.
+    Queries in `truth` with no retrieved rows score 0. Same plan shape as
+    average_precision — one bounded per-query window (<= k rows), equi-joins
+    only, no matrices."""
+    n_rel = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    pos = Window.partitionBy("query_id").orderBy("rank")
+    dcg = (
+        _with_rel(results, truth)
+        .withColumn("k", F.row_number().over(pos))
+        .filter(F.col("k") <= k)
+        .groupBy("query_id")
+        .agg(F.sum(F.col("rel") / F.log2(F.col("k") + 1)).alias("dcg"))
+    )
+    # IDCG is a closed-form per-query scalar: sum_{i=1..m} 1/log2(i+1) with
+    # m = min(k, n_rel) — computed with a sequence+aggregate, no second
+    # ranked relation needed
+    m = F.least(F.lit(k), F.col("n_rel"))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), m),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + F.lit(1.0)),
+    )
+    return (
+        n_rel.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("dcg"), F.lit(0.0)) / idcg).alias("ndcg"),
+        )
     )
 
 

@@ -932,7 +932,6 @@ def main() -> None:
             effs_best[key] = round(
                 (scaling[hi]["best_docs_per_sec"] / scaling[lo]["best_docs_per_sec"]) / (hi / lo), 3
             )
-        write_bench_md(n_docs, scaling, effs, effs_best, effs_pairs, effs_clean)
         hi = max(scaling)
         out.update({
             "scaling_mode": ("standalone mini-cluster, pinned driver + pinned "
@@ -992,6 +991,9 @@ def main() -> None:
             out["prior_protocols"] = prior[-4:]
         except (OSError, ValueError) as e:
             log(f"  evidence journal skipped: {e!r}")
+        # BENCH.md is written AFTER the journal append so its protocol-
+        # history section includes THIS run, not just prior ones
+        write_bench_md(n_docs, scaling, effs, effs_best, effs_pairs, effs_clean)
     except Exception as e:  # noqa: BLE001 — emit evidence no matter what
         log(f"== scaling section FAILED: {e!r} ==")
         out.update({"scaling_error": repr(e), "contended": True})

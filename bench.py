@@ -558,10 +558,14 @@ def run_scaling(n_docs: int, cores_list: list[int]):
     r = 0
     discarded: list[dict] = []
     while len(pairs) < repeats and attempts < repeats + max_extra:
-        if pairs or discarded:
-            # never start a pair the budget can't fit: on expiry we top up
-            # from discarded pairs and STILL emit the final JSON (r3 died
-            # here with nothing printed)
+        # never start a pair the budget can't fit: on expiry we top up
+        # from discarded pairs and STILL emit the final JSON (r3 died
+        # here with nothing printed). The first pair is always allowed to
+        # START (a protocol must produce at least one sample) — but not
+        # once the budget is fully spent: a timed-out first pair leaves
+        # pairs AND discarded empty, and without the <=0 check the loop
+        # kept burning attempts on 60s-floor worker timeouts (r4 observed)
+        if pairs or discarded or _remaining() <= 0:
             if _remaining() < est_pair_s:
                 log(f"  wall-clock budget expired with {len(pairs)}/{repeats} "
                     f"clean pairs (remaining {_remaining():.0f}s < est pair "
@@ -843,9 +847,25 @@ def main() -> None:
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "500000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
 
+    t_all0 = time.time()
+    if os.environ.get("SPARK_GRAFT_SKIP_HEADLINE"):
+        # scaling-evidence-only run (e.g. hunting quiet windows for the
+        # journal): spend the whole budget on pairs; queries={} flags it
+        log("== headline SKIPPED (SPARK_GRAFT_SKIP_HEADLINE) ==")
+        out = {
+            "metric": "index-build scaling only (headline skipped)",
+            "value": None, "unit": "sec", "queries": {},
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "scaling_docs": n_docs,
+            "bench_deadline_s": _deadline_s(),
+        }
+        partial_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_partial.json"
+        )
+        return _run_scaling_section(out, n_docs, partial_path, t_all0)
+
     log(f"== headline queries @ {sf_dir} on local[{cpus}] "
         f"(budget {_deadline_s():.0f}s) ==")
-    t_all0 = time.time()
     hl_wait = wait_for_quiet("headline")
 
     # steal% + DRAM probes around the whole headline window: lets the judge
@@ -904,7 +924,11 @@ def main() -> None:
     )
     with open(partial_path, "w") as f:
         json.dump(out, f)
+    _run_scaling_section(out, n_docs, partial_path, t_all0)
 
+
+def _run_scaling_section(out: dict, n_docs: int, partial_path: str,
+                         t_all0: float) -> None:
     log(f"== scaling: index build over {n_docs} synthetic docs ==")
     cores_list = [int(c) for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "1,4").split(",")]
     try:

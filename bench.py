@@ -724,10 +724,14 @@ table and BENCH_evidence.jsonl:
   **16,483 docs/s** with every gate clean (steal 0.07%, probes
   1.70/1.72 s, wcpu 0.58/0.61 s). Even against a generously extrapolated
   clean 1-core (4,545 docs/s), efficiency = 0.91.
-* **Best full-protocol run (2026-08-18T01:06Z): median pair efficiency
-  0.895, best-run-vs-best-run 0.806** (pairs [0.513, 0.895]; no pair
-  passed every contention gate — the worst steal, 7.31%, hit the *4-core*
-  side of the 0.513 pair, i.e. that contamination deflates the number).
+* **Best full-protocol run (2026-08-18T01:06Z): pairs [0.513, 0.895],
+  best-run-vs-best-run 0.806** (its journal entry records 0.895 under the
+  pre-fix upper-median; the interpolated median of the two pairs is
+  0.704). Neither pair passed every gate, and their biases point in
+  OPPOSITE directions: the 0.513 pair took 7.31% steal on its *4-core*
+  side (deflating the ratio), the 0.895 pair took 3.96% steal on its
+  *1-core* side (inflating it) — the two bracket the clean value, and the
+  gate-clean manual pair above pins it at the high end.
 * Runs below the bar in the history table are host-weather artifacts, not
   engine behavior: every sub-0.8 entry carries steal 3.3-28.9% or dirty
   probes on at least one side (this box shows multi-hour windows where
@@ -970,7 +974,11 @@ def _run_scaling_section(out: dict, n_docs: int, partial_path: str,
                 for p in pairs if lo in p and hi in p
             )
             effs_pairs[key] = [round(x, 3) for x in per_pair]
-            effs[key] = round(per_pair[len(per_pair) // 2], 3) if per_pair else 0.0
+            # interpolated median (statistics.median), NOT the upper element:
+            # with an even pair count, picking per_pair[n//2] silently reports
+            # the optimistic half of the sample (observed: [0.513, 0.895]
+            # published as "median 0.895")
+            effs[key] = round(statistics.median(per_pair), 3) if per_pair else 0.0
             # gate-clean pairs only (no steal/probe flag, not topped up):
             # the subset a judge can take at face value without telemetry
             clean = sorted(
@@ -980,7 +988,7 @@ def _run_scaling_section(out: dict, n_docs: int, partial_path: str,
             )
             effs_clean[key] = {
                 "pairs": [round(x, 3) for x in clean],
-                "median": round(clean[len(clean) // 2], 3) if clean else None,
+                "median": round(statistics.median(clean), 3) if clean else None,
             }
             effs_best[key] = round(
                 (scaling[hi]["best_docs_per_sec"] / scaling[lo]["best_docs_per_sec"]) / (hi / lo), 3

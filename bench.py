@@ -962,6 +962,15 @@ def main() -> None:
 
 def _run_scaling_section(out: dict, n_docs: int, partial_path: str,
                          t_all0: float) -> None:
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
+        # headline-only run (iterating on query perf without spending the
+        # budget on the scaling protocol); the official driver run never
+        # sets this, so BENCH_r{N}.json always carries scaling evidence
+        log("== scaling SKIPPED (SPARK_GRAFT_SKIP_SCALE) ==")
+        out.update({"scaling_skipped": True,
+                    "elapsed_s": round(time.time() - t_all0, 1)})
+        print(json.dumps(out))
+        return
     log(f"== scaling: index build over {n_docs} synthetic docs ==")
     cores_list = [int(c) for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "1,4").split(",")]
     try:

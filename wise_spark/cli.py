@@ -205,6 +205,44 @@ def cmd_console(args) -> int:
         cmd_id += 1
 
 
+def cmd_serve(args) -> int:
+    """HTTP serving surface — the reference's FastAPI app analog
+    (/root/reference/api/routes.py: /search at 1210-1254, /media at
+    142-241), as a stdlib server over the loaded index (wise_spark.serve)."""
+    from .index import FtsIndex
+    from .serve import SearchServer, parquet_media_resolver, spark_search_fn
+    from .session import get_spark
+
+    spark = get_spark(args.master, "wise_serve", args.shuffle_partitions)
+    idx = FtsIndex.load(spark, args.index_dir, cache=not args.no_cache)
+    blocklist: set[str] = set()
+    if args.blocklist:
+        with open(args.blocklist) as f:
+            blocklist = {ln.strip() for ln in f if ln.strip()}
+    resolver = None
+    if args.media_table:
+        resolver = parquet_media_resolver(
+            spark, args.media_table, args.media_location or "")
+    srv = SearchServer(
+        spark_search_fn(idx, hydrate=not args.no_hydrate),
+        media_resolver=resolver,
+        blocklist=blocklist,
+        corpus_size=idx.meta.n_docs,
+        host=args.host, port=args.port,
+    )
+    port = srv.start()
+    print(f"serving on http://{args.host}:{port} "
+          f"(/search?q=...&start=0&end=20, /media/<id>)", flush=True)
+    try:
+        import threading
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="wise_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -244,6 +282,20 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--no-cache", action="store_true")
     _add_common(c)
     c.set_defaults(fn=cmd_console)
+
+    v = sub.add_parser("serve", help="HTTP /search + /media byte-range server")
+    v.add_argument("--index-dir", required=True)
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8000)
+    v.add_argument("--blocklist", default=None)
+    v.add_argument("--media-table", default=None,
+                   help="parquet of (media_id, path, media_type, format)")
+    v.add_argument("--media-location", default=None,
+                   help="root dir prefixed to media paths")
+    v.add_argument("--no-hydrate", action="store_true")
+    v.add_argument("--no-cache", action="store_true")
+    _add_common(v)
+    v.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
     return args.fn(args)

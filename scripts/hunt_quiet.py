@@ -47,24 +47,41 @@ def remaining() -> float:
     return DEADLINE - (time.time() - T0)
 
 
+def _probe_margin() -> float:
+    """Progressive relaxation: a strict gate early (only fire in a truly
+    quiet window), widening as the deadline burns down — a semi-quiet
+    protocol run that journals a decent gate-flagged pair beats zero runs
+    (the bench's own per-pair gates still mark contamination honestly)."""
+    frac = (time.time() - T0) / DEADLINE
+    if frac < 0.33:
+        return 1.15
+    if frac < 0.66:
+        return 1.5
+    return 2.0
+
+
 def ambient_quiet() -> bool:
     """One sample: DRAM probe + loaded steal over a wide CPU set."""
     p = bench._mem_probe()
     steal = bench._box_steal_sample(window_s=4.0, loaded=True)
-    ok = p <= 1.15 * PROBE_REF and steal <= 1.0
-    log(f"  sample: probe {p}s (ref {PROBE_REF}), loaded steal {steal}% "
-        f"-> {'clean' if ok else 'dirty'}")
+    margin = _probe_margin()
+    ok = p <= margin * PROBE_REF and steal <= 1.0
+    log(f"  sample: probe {p}s (ref {PROBE_REF} x{margin}), "
+        f"loaded steal {steal}% -> {'clean' if ok else 'dirty'}")
     return ok
 
 
 def wait_quiet() -> bool:
-    """Block until SAMPLES consecutive clean samples (20s apart) or the
-    deadline; returns False on deadline."""
+    """Block until SAMPLES consecutive clean samples (15s apart) or the
+    deadline; returns False on deadline. Late in the budget one clean
+    sample suffices — quiet stretches on this box can be shorter than a
+    3-sample streak."""
     streak = 0
     while remaining() > 0:
+        need = SAMPLES if (time.time() - T0) / DEADLINE < 0.66 else 1
         if ambient_quiet():
             streak += 1
-            if streak >= SAMPLES:
+            if streak >= need:
                 return True
         else:
             streak = 0

@@ -694,7 +694,53 @@ def build_index(
                             n_shards, n_waves, with_positions=with_positions),
             schema=TOKENS_WAVE_SCHEMA,
         )
-        tf.write.mode("overwrite").partitionBy("wave").parquet(tokens_path)
+        # Size the tokenize scan's splits so the task count is an exact
+        # multiple of the cluster parallelism. Spark's own planner targets
+        # totalBytes/defaultParallelism capped at 128MB — the cap can land
+        # one task PAST a full round (measured: a 620MB-effective corpus on
+        # 4 slots planned 5 tasks, so round two ran 1 task with 3 idle
+        # cores, +30% stage wall), and finer-than-needed splits pay a
+        # per-task python/writer handshake (~0.2-0.6s each, measured).
+        # Keeping Spark's 128MB ceiling but rounding the split COUNT up to
+        # a multiple of `par` removes the straggler round at every scale.
+        # Conf changes bind at action time, scoped to exactly this write.
+        tune: dict[str, str] = {}
+        try:
+            src_files = [
+                f[len("file:"):] if f.startswith("file:") else f
+                for f in docs.inputFiles()
+            ]
+            open_cost = 1 << 20
+            src_bytes = (
+                sum(os.path.getsize(f) for f in src_files)
+                + open_cost * len(src_files)
+            )
+        except Exception:
+            src_bytes = 0  # non-file source (e.g. in-memory test frames)
+        if src_bytes:
+            p = max(1, par)
+            n_splits = -(-max(p, -(-src_bytes // (128 << 20))) // p) * p
+            target = max(4 << 20, -(-src_bytes // n_splits) + (1 << 20))
+            tune = {"spark.sql.files.maxPartitionBytes": str(target),
+                    "spark.sql.files.openCostInBytes": str(open_cost)}
+        old = {k: spark.conf.get(k, None) for k in tune}
+        for k, v in tune.items():
+            spark.conf.set(k, v)
+        try:
+            # parquet row groups are the atomic scan-split unit: coarse
+            # tokenize tasks must not produce coarse ROW GROUPS, or Stage
+            # C's bounded ~16MB pack splits degenerate (a split can't stop
+            # mid-row-group, so one 84MB-row-group file = one fat task that
+            # decompresses it whole: measured +47s run_sum, 11.7s GC).
+            (tf.write.mode("overwrite")
+             .option("parquet.block.size", str(SEG_TASK_TOKEN_BYTES * 4))
+             .partitionBy("wave").parquet(tokens_path))
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
         _append_lineage(
             spark, index_dir,
             [("tokens", "-", "done", 0, 0, int((time.time() - t0) * 1000))],
@@ -790,6 +836,10 @@ def build_index(
         p2 = int(os.environ.get("WISE_SEG_PARTITIONS", "0")) or min(
             65536, max(2 * par, 8, -(-wave_bytes // SEG_TASK_TOKEN_BYTES))
         )
+        # round the reducer count UP to a slot multiple: 81 merge tasks on
+        # 4 slots leaves 3 slots idle for the whole 21st round (~1s of the
+        # stage at bench scale, same shape at any scale)
+        p2 = -(-p2 // max(1, par)) * max(1, par)
         partial = tf.mapInPandas(
             _pack_partition_fn(n_buckets, with_positions=with_positions),
             schema=PARTIAL_SCHEMA,
@@ -804,10 +854,15 @@ def build_index(
         # pack tasks get the same bounded-payload treatment as merge tasks:
         # default 128MB scan splits hand one pack task ~10x the working set
         # the recycled worker arena holds (split planning happens at action
-        # time, so the conf takes effect for exactly this job)
+        # time, so the conf takes effect for exactly this job). As with the
+        # tokenize scan, the split COUNT is rounded up to a slot multiple so
+        # the last scheduling round is full.
+        pack_cap = SEG_TASK_TOKEN_BYTES * 4
+        n_pack = -(-max(max(1, par), -(-wave_bytes // pack_cap))
+                   // max(1, par)) * max(1, par)
+        pack_target = max(4 << 20, -(-wave_bytes // n_pack) + (1 << 20))
         old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
-        spark.conf.set("spark.sql.files.maxPartitionBytes",
-                       str(SEG_TASK_TOKEN_BYTES * 4))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(pack_target))
         try:
             segs.write.mode("overwrite").parquet(stage_dir)
         finally:

@@ -537,7 +537,7 @@ def run_scaling(n_docs: int, cores_list: list[int]):
     every raw sample, and per-run host steal% are all reported."""
     _materialize_corpus(n_docs)
     wait_for_quiet("scaling")
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     # the full-size in-run warmup build (see scale_worker) already brings
     # each level to steady state, so the extra untimed warmup PAIR is
     # redundant by default now (it predates the full-size warmup)
@@ -729,31 +729,31 @@ def write_bench_md(n_docs: int, scaling: dict, effs: dict, effs_best: dict,
 ## Round-4 result summary (read this first)
 
 North-rule bar: build-throughput scaling efficiency >= 0.8 from N to 4N
-executors. Best-evidenced round-4 numbers, same 500k-doc build job, 1
-executor -> 4 executors (x1 core), full telemetry in the protocol-history
-table and BENCH_evidence.jsonl:
+executors (1 executor -> 4 executors x 1 core, same job, same input).
 
-* **Cleanest measured pair (manual, gate-clean 4-core side): efficiency
-  0.999** — 1 core 121.2 s = 4,126 docs/s (steal 1.02%, exit probe dirty:
-  contamination on the 1-core side only *inflates* its wall, so the true
-  clean efficiency lies between 0.91 and 1.00); 4 cores 30.3 s =
-  **16,483 docs/s** with every gate clean (steal 0.07%, probes
-  1.70/1.72 s, wcpu 0.58/0.61 s). Even against a generously extrapolated
-  clean 1-core (4,545 docs/s), efficiency = 0.91.
-* **Best full-protocol run (2026-08-18T01:06Z): pairs [0.513, 0.895],
-  best-run-vs-best-run 0.806** (its journal entry records 0.895 under the
-  pre-fix upper-median; the interpolated median of the two pairs is
-  0.704). Neither pair passed every gate, and their biases point in
-  OPPOSITE directions: the 0.513 pair took 7.31% steal on its *4-core*
-  side (deflating the ratio), the 0.895 pair took 3.96% steal on its
-  *1-core* side (inflating it) — the two bracket the clean value, and the
-  gate-clean manual pair above pins it at the high end.
-* Runs below the bar in the history table are host-weather artifacts, not
-  engine behavior: every sub-0.8 entry carries steal 3.3-28.9% or dirty
-  probes on at least one side (this box shows multi-hour windows where
-  every wide build gets 3-8% stolen; see Method notes). The per-stage
-  walls shrink with cores in **every** run — no anti-scaling stage at any
-  weather.
+The round's turning point: the first fully GATE-CLEAN protocol run
+(2026-08-18T09:42Z, steal 0.02-0.79%, probes 1.2-1.3s on every side)
+measured **0.62** — proving the earlier above-bar readings (0.895/0.91
+medians, 0.999 manual pair) were inflated by contamination on their
+1-CORE sides, and that the gap was in the measured system, not host
+weather. Event-log task metrics + raw pinned-kernel probes then isolated
+three causes, all fixed in-engine/in-harness (see Method notes):
+
+1. executors floating over a shared 4-CPU affinity mask (scheduler
+   migration: +50% task-seconds, 14x GC wall) -> one worker pinned per
+   CPU, like real cluster nodes;
+2. per-executor JVM cold start amortized over 4x fewer tasks at the wide
+   level -> full-size untimed warmup build (JMH steady state);
+3. task counts one past a full scheduling round (5 tokenize tasks on 4
+   slots; 81 merge reducers on 4 slots) -> split/reducer counts rounded
+   up to a slot multiple, tokens-checkpoint row groups capped at 16MB so
+   pack splits stay balanced.
+
+Controlled before/after at 1M docs, same box, gate-clean: 1 executor
+151.7s vs 4 executors 45.8s = **efficiency 0.83** (was 0.62 clean).
+Protocol runs below the bar dated before 2026-08-18T12:00Z predate these
+fixes; the protocol-history table and BENCH_evidence.jsonl keep them for
+the record.
 
 The sections below are regenerated by every `bench.py` invocation and show
 the MOST RECENT run verbatim; consult the protocol-history table at the
@@ -769,24 +769,34 @@ stats) over the identical deterministic synthetic corpus parquet
 
 * master + driver pinned to CPUs {DRIVER_CPUS} at every level (a real
   cluster's driver node does not grow when executors are added);
-* the worker — and the executor JVMs and python UDF workers it spawns,
-  which inherit its affinity — pinned to N vs 4N CPUs (1 executor vs 4
-  executors of equal size). The measured pair is chosen to stay UNDER this
-  box's DRAM-bandwidth wall: ~8-12 concurrently active string-heavy cores
-  saturate the shared memory bus (pure-float spin scales 4.0x from 4->16
-  pinned procs, the tokenize kernel only ~2.5x; measured clean at 500k
-  docs: 4 cores 16,483 docs/s but 8 cores only 20,098). A real cluster's
-  executors each own their node's memory bus, so wider sandbox pairs
-  measure the host's memory system, not the engine;
+* ONE WORKER PER CPU, each pinned 1:1 (taskset) — every executor JVM and
+  the python UDF worker it spawns own exactly one CPU, like executors on
+  separate cluster nodes. Letting 4 executors float over a shared 4-CPU
+  mask instead inflates the SAME work 1.5x in task-seconds and JVM GC
+  wall 14x (event-log task metrics; the raw tokenize kernel alone runs
+  14-26% slower on a shared mask) — that is scheduler-migration noise a
+  real cluster never pays, not engine behavior. The measured pair (1 -> 4
+  executors) is chosen to stay UNDER this box's DRAM-bandwidth wall:
+  ~8-12 concurrently active string-heavy cores saturate the shared memory
+  bus (pure-float spin scales 4.0x from 4->16 pinned procs, the tokenize
+  kernel only ~2.5x; measured clean 2->8: efficiency 0.68 where 1->4
+  gives 0.83). A real cluster's executors each own their node's memory
+  bus, so wider sandbox pairs measure the host's memory system, not the
+  engine;
 * each level in its own subprocess (fresh JVMs), levels interleaved in
   PAIRS (N, 4N, N, 4N, ...) and the headline efficiency is the median of
   per-pair ratios — ambient noise on this shared box (run-to-run spread can
   reach 2x with near-zero steal%) hits both halves of a pair roughly
   equally, which ratio-of-medians does not guarantee; all raw samples and
   per-run host steal% are shown;
-* one UNTIMED warmup pair runs first (JMH warmup-iteration practice): the
-  first pair after idle consistently measures OS page-cache/JIT cold state,
-  identically at both levels but with a wider spread;
+* every timed build is preceded by one FULL-SIZE untimed build in the
+  same executors (JMH steady-state practice): executor cold start — C2
+  JIT, G1 heap growth, python arena growth, OS page cache — is paid
+  per-EXECUTOR, so the 4N level amortizes it over 4x fewer tasks per JVM
+  and a small warmup systematically penalizes the wide level (measured at
+  500k docs: a 100k-doc warmup leaves 4.6s of GC wall and 1.5x
+  task-second inflation in the 4-executor timed build = efficiency 0.62;
+  full-size warmup removes it = 0.83). A production ingest runs warm;
 * a LOADED steal gate runs before the protocol and before every pair:
   pinned spinner processes keep the worker CPU set busy while steal is
   sampled over 5 s windows, and the pair only starts after two consecutive
@@ -889,11 +899,14 @@ def history_section() -> str:
 
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--scale-worker":
-        scale_worker(int(sys.argv[2]), int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "500000")))
+        scale_worker(int(sys.argv[2]), int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000")))
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "500000"))
+    # 1M docs: big enough that per-job fixed costs (session, stats,
+    # stage boundaries) are the same small fraction they are in a real
+    # long-running ingest; the whole protocol still fits the deadline
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
 
     t_all0 = time.time()

@@ -537,7 +537,12 @@ def run_scaling(n_docs: int, cores_list: list[int]):
     every raw sample, and per-run host steal% are all reported."""
     _materialize_corpus(n_docs)
     wait_for_quiet("scaling")
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # 2 pairs by default: headline (~8 min at sf0.1) + 1M-doc scaling with
+    # full-size warmups costs ~650 s per pair, so 2 pairs + retry headroom
+    # is what the 2400 s driver deadline actually fits; 3 pairs always
+    # ended deadline_hit with the third refused (observed r4). The hunter
+    # protocol runs set SPARK_GRAFT_BENCH_REPEATS explicitly.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     # the full-size in-run warmup build (see scale_worker) already brings
     # each level to steady state, so the extra untimed warmup PAIR is
     # redundant by default now (it predates the full-size warmup)
@@ -569,6 +574,16 @@ def run_scaling(n_docs: int, cores_list: list[int]):
     # lists, but replaced by a retry pair when the retry budget allows.
     steal_cap = float(os.environ.get("SPARK_GRAFT_STEAL_CAP_PCT", "1.0"))
     probe_ratio = float(os.environ.get("SPARK_GRAFT_PROBE_RATIO", "1.3"))
+    # absolute quiet ceilings: the relative gate alone self-tightens — one
+    # lucky fast probe (1.04 s observed) reclassifies every normal quiet
+    # probe (~1.4 s; the launch gate itself calls <= QUIET_PROBE_S clean)
+    # as dirty, so whole runs end "0 gate-clean pairs" on a genuinely quiet
+    # host. A probe is dirty only when it exceeds BOTH the ratio gate and
+    # the absolute quiet ceiling for its kernel (driver-CPU _mem_probe
+    # quiet ~1.2-1.6 s, contended 3.4-8.5 s; worker-CPU probe quiet
+    # ~0.55-0.62 s).
+    probe_abs = float(os.environ.get("SPARK_GRAFT_QUIET_PROBE_S", "2.0"))
+    wprobe_abs = float(os.environ.get("SPARK_GRAFT_QUIET_WPROBE_S", "0.8"))
     max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_PAIRS", "3"))
     attempts = 0
     r = 0
@@ -619,8 +634,10 @@ def run_scaling(n_docs: int, cores_list: list[int]):
              for runs in runs_by_level.values() for p in runs),
             default=worst_probe,
         )
-        entry_bad = best_probe > 0 and worst_probe > probe_ratio * best_probe
-        exit_bad = best_probe > 0 and worst_exit > probe_ratio * best_probe
+        entry_bad = (best_probe > 0
+                     and worst_probe > max(probe_ratio * best_probe, probe_abs))
+        exit_bad = (best_probe > 0
+                    and worst_exit > max(probe_ratio * best_probe, probe_abs))
         # worker-CPU probe (pinned to the first worker CPU): senses
         # core-local contention the driver-CPU probes can't
         wp_all = [v for runs in runs_by_level.values() for x in runs
@@ -632,17 +649,18 @@ def run_scaling(n_docs: int, cores_list: list[int]):
              for p in pair.values()),
             default=0.0,
         )
-        wp_bad = best_wp > 0 and worst_wp > probe_ratio * best_wp
+        wp_bad = (best_wp > 0
+                  and worst_wp > max(probe_ratio * best_wp, wprobe_abs))
         if worst_steal > steal_cap or entry_bad or exit_bad or wp_bad:
             if worst_steal > steal_cap:
                 why = f"host steal {worst_steal}% > {steal_cap}%"
             elif entry_bad or exit_bad:
                 why = (f"memory probe {worst_probe if entry_bad else worst_exit}s "
-                       f"({'entry' if entry_bad else 'exit'}) > {probe_ratio}x "
-                       f"best {best_probe}s")
+                       f"({'entry' if entry_bad else 'exit'}) > "
+                       f"max({probe_ratio}x best {best_probe}s, abs {probe_abs}s)")
             else:
-                why = (f"worker-cpu probe {worst_wp}s > {probe_ratio}x "
-                       f"best {best_wp}s")
+                why = (f"worker-cpu probe {worst_wp}s > "
+                       f"max({probe_ratio}x best {best_wp}s, abs {wprobe_abs}s)")
             log(f"  pair discarded ({why}), retrying")
             discarded.append(pair)
             # the loop-top loaded pre-check keeps the retry out of the same
@@ -1091,8 +1109,16 @@ def _run_scaling_section(out: dict, n_docs: int, partial_path: str,
         except (OSError, ValueError) as e:
             log(f"  evidence journal skipped: {e!r}")
         # BENCH.md is written AFTER the journal append so its protocol-
-        # history section includes THIS run, not just prior ones
-        write_bench_md(n_docs, scaling, effs, effs_best, effs_pairs, effs_clean)
+        # history section includes THIS run, not just prior ones. Smoke/CI
+        # runs at toy doc counts must not clobber the protocol-scale table
+        # (observed: a 20k-doc smoke overwrote the 1M-doc measured-run
+        # section) — journal always, rewrite the narrative only at >=500k
+        # or when explicitly forced.
+        if n_docs >= 500_000 or os.environ.get("SPARK_GRAFT_WRITE_BENCH_MD"):
+            write_bench_md(n_docs, scaling, effs, effs_best, effs_pairs,
+                           effs_clean)
+        else:
+            log(f"  BENCH.md rewrite skipped (smoke run: {n_docs} docs)")
     except Exception as e:  # noqa: BLE001 — emit evidence no matter what
         log(f"== scaling section FAILED: {e!r} ==")
         out.update({"scaling_error": repr(e), "contended": True})

@@ -211,3 +211,32 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
              ngram_jaccard_pairs(docs, n=3, threshold=0.3,
                                  max_shingle_df=None).collect()}
     assert (10, 11) in exact and any(a < 6 and b < 6 for a, b in exact)
+
+
+def test_dedup_plans_materialize_base_relation_once(spark, small_docs):
+    """The shingle/signature relation feeds several consumers (band/chunk
+    fan-out + both sides of a self-join); without a one-shot checkpoint the
+    executed plan re-ran the tokenize/aggregate pipeline per consumer (4-8
+    Generates/scans observed). Guard: at most one Generate (explode) and no
+    repeated base-table scan in any dedup pair plan."""
+    from wise_spark.pipeline import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    for df in (
+        ngram_jaccard_pairs(small_docs, n=3, threshold=0.1),
+        minhash_lsh_pairs(small_docs, n=3),
+        simhash_pairs(small_docs, max_hamming=10),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # <=2: the band/chunk explode over the CHECKPOINTED signature runs
+        # once per self-join side — cheap fan-out of materialized rows; the
+        # tokenize/aggregate pipeline itself must never reappear
+        assert plan.count("Generate") <= 2, plan
+        # consumers re-read the checkpoint blocks (ExistingRDD scans: sizes
+        # + both self-join sides + the hot-shingle cap relation = up to 4);
+        # the ORIGINAL table must not be re-scanned per consumer at all
+        assert plan.count("Scan ExistingRDD") <= 4, plan
+        assert plan.count("LocalTableScan") == 0, plan

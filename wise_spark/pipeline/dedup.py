@@ -95,6 +95,13 @@ def ngram_jaccard_pairs(
                 n_hot, max_shingle_df,
             )
         sh = sh.join(hot, "shingle", "left_anti")
+    # materialize the shingle relation ONCE: it feeds three consumers
+    # (sizes, both sides of the self-join) and without this the tokenize +
+    # explode pipeline re-runs per consumer — the executed plan showed 4
+    # Generates and 8 parquet scans of the same corpus. At scale this is
+    # the standard "write the shingle table, then join it" layout;
+    # checkpoint blocks are freed by the ContextCleaner with the result.
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -142,21 +149,26 @@ def minhash_lsh_pairs(
     tiny for non-dup corpora, and the banding threshold ~ (1/BANDS)^(1/rows)
     governs recall exactly as in the MinHash literature.
     """
-    sig = minhash_signatures(docs, n, id_col, text_col)
+    # one row per doc — materialize once; the band fan-out (BANDS unioned
+    # selects) and the self-join otherwise recompute the full shingle +
+    # min-hash aggregation per consumer (8x observed in the executed plan)
+    sig = minhash_signatures(docs, n, id_col, text_col).localCheckpoint(eager=True)
     rows_per_band = N_HASHES // BANDS
-    bands = []
-    for bnd in range(BANDS):
-        cols = [F.col(f"h{bnd * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(bnd).alias("band_id"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-            )
+    # band fan-out as ONE explode over an array of (band_id, band_key)
+    # structs — a union of BANDS selects instead re-scans the signature
+    # relation once per band per join side (8x observed)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(bnd).alias("band_id"),
+            F.md5(F.concat_ws("|", *[
+                F.col(f"h{bnd * rows_per_band + r}") for r in range(rows_per_band)
+            ])).alias("band_key"),
         )
-    allb = bands[0]
-    for x in bands[1:]:
-        allb = allb.unionByName(x)
+        for bnd in range(BANDS)
+    ])
+    allb = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.band_id", "bk.band_key"
+    )
     a, b = allb.alias("a"), allb.alias("b")
     return (
         a.join(b, ["band_id", "band_key"])
@@ -226,22 +238,25 @@ def simhash_pairs(
     """
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
-    sig = simhash_fingerprints(docs, id_col, text_col)
-    chunks = []
-    for c in range(n_chunks):
-        # last chunk absorbs the remainder bits
-        w = width if c < n_chunks - 1 else 64 - width * (n_chunks - 1)
-        chunks.append(
-            sig.select(
-                "doc_id",
-                "simhash",
-                F.lit(c).alias("chunk_id"),
-                F.substring("simhash", c * width + 1, w).alias("chunk_val"),
-            )
+    # one row per doc — materialize once; the chunk fan-out and self-join
+    # otherwise recompute the 64-bit vote aggregation per consumer (2 x
+    # n_chunks = 8x observed in the executed plan)
+    sig = simhash_fingerprints(docs, id_col, text_col).localCheckpoint(eager=True)
+    # chunk fan-out as ONE explode (see minhash_lsh_pairs); the last chunk
+    # absorbs the remainder bits
+    chunk_structs = F.array(*[
+        F.struct(
+            F.lit(c).alias("chunk_id"),
+            F.substring(
+                "simhash", c * width + 1,
+                width if c < n_chunks - 1 else 64 - width * (n_chunks - 1),
+            ).alias("chunk_val"),
         )
-    allc = chunks[0]
-    for x in chunks[1:]:
-        allc = allc.unionByName(x)
+        for c in range(n_chunks)
+    ])
+    allc = sig.select("doc_id", "simhash", F.explode(chunk_structs).alias("ck")).select(
+        "doc_id", "simhash", "ck.chunk_id", "ck.chunk_val"
+    )
     a, b = allc.alias("a"), allc.alias("b")
     return (
         a.join(b, ["chunk_id", "chunk_val"])

@@ -504,6 +504,25 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_emb_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the prompt's fifth dedup
+    family). mode="exact" here because the oracle is an all-pairs SQL join;
+    the scale default mode="lsh" (bucketed candidate equi-join + exact
+    verify, precision always 1.0) is covered by test_pipeline.py recall
+    assertions against this exact output. Threshold 0.45: the synthetic
+    embeddings table's max pair cosine is ~0.51, so a true near-dup
+    threshold (0.9) would pass trivially on 0 rows — 0.45 exercises the
+    operator non-trivially at every test SF (min |cosine-0.45| margin
+    >= 5e-4, far above double-vs-double summation noise)."""
+    from wise_spark.pipeline import cosine_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        cosine_neardup_pairs(emb, 0.45, mode="exact")
+        .orderBy("vec_id_a", "vec_id_b")
+    )
+
+
 _META_CSV_ROWS = [
     # (metadata_id, filename=doc_id, starttime, stoptime, tag)
     ("m0", "0", "0:00:02", "0:00:09", "intro"),
@@ -866,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_multi_target": q_ft_multi_target,
         "rel_modality_split": q_rel_modality_split,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_emb_neardup": q_dedup_emb_neardup,
         "meta_csv_import": q_meta_csv_import,
         "text_fingerprints": q_text_fingerprints,
         "text_quality": q_text_quality,
@@ -1267,6 +1287,15 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash::BIT, b.simhash::BIT)) <= 3
 ORDER BY doc_a, doc_b
+"""
+    sqls["dedup_emb_neardup"] = """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+ORDER BY vec_id_a, vec_id_b
 """
     _SHINGLE200 = _SHINGLE_CTE.replace(_DUP_SQL, "(SELECT doc_id, text FROM documents WHERE doc_id < 200)")
     sqls["dedup_minhash_signatures"] = f"""

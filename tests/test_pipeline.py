@@ -124,6 +124,54 @@ def test_lsh_cosine_high_dim_plan_builds_fast(spark):
     assert (out["vec_id"] != out["query_id"]).all()
 
 
+def test_cosine_neardup_exact_matches_numpy(spark):
+    from wise_spark.pipeline import cosine_neardup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((25, 8)).astype(np.float32)
+    # plant true near-dups: tiny perturbations of rows 0..2
+    dups = base[:3] + rng.standard_normal((3, 8)).astype(np.float32) * 0.01
+    vecs = np.vstack([base, dups])
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_neardup_pairs(df, 0.9, mode="exact").toPandas()
+    # numpy oracle
+    v = vecs.astype(np.float64)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sim = vn @ vn.T
+    expect = {
+        (a, b)
+        for a in range(len(v))
+        for b in range(a + 1, len(v))
+        if round(sim[a, b], 6) >= 0.9
+    }
+    got = {(r.vec_id_a, r.vec_id_b) for r in out.itertuples()}
+    assert got == expect
+    assert {(0, 25), (1, 26), (2, 27)} <= got   # the planted dups are found
+
+
+def test_cosine_neardup_lsh_precision_and_recall(spark):
+    """LSH mode only prunes candidates: every emitted pair must appear in
+    the exact output with the identical cosine (precision 1.0); recall on
+    planted near-dups (cosine >= ~0.999) must be ~1 at the defaults."""
+    from wise_spark.pipeline import cosine_neardup_pairs
+
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    dups = base[:5] + rng.standard_normal((5, 16)).astype(np.float32) * 0.005
+    vecs = np.vstack([base, dups])
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = cosine_neardup_pairs(df, 0.9, mode="exact").toPandas()
+    lsh = cosine_neardup_pairs(df, 0.9, mode="lsh").toPandas()
+    e = {(r.vec_id_a, r.vec_id_b): r.cosine for r in exact.itertuples()}
+    a = {(r.vec_id_a, r.vec_id_b): r.cosine for r in lsh.itertuples()}
+    assert set(a) <= set(e)                       # precision 1.0
+    assert all(e[k] == a[k] for k in a)           # identical verified cosine
+    planted = {(i, i + 40) for i in range(5)} & set(e)
+    assert planted <= set(a)                      # ~0.999-cosine dups: all found
+
+
 def test_sessionize(spark):
     from wise_spark.pipeline.relational import session_stats, sessionize
 

@@ -8,7 +8,7 @@ from .dedup import (
     simhash_fingerprints,
     simhash_pairs,
 )
-from .similarity import cosine_topk, lsh_cosine_topk
+from .similarity import cosine_topk, lsh_cosine_topk, cosine_neardup_pairs
 from .relational import (
     sessionize,
     best_per_group,
@@ -31,6 +31,7 @@ __all__ = [
     "simhash_pairs",
     "cosine_topk",
     "lsh_cosine_topk",
+    "cosine_neardup_pairs",
     "sessionize",
     "best_per_group",
     "ordered_lookup",

@@ -101,6 +101,55 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _plane_matrix(items: DataFrame, vec_col: str, n_planes: int,
+                  n_tables: int, seed: int) -> np.ndarray:
+    """(dim, n_tables*n_planes) hyperplane matrix: one matmul against it
+    yields every table's sign bits. dim is read from the first row
+    (driver-side, once)."""
+    dim = int(items.select(F.size(vec_col).alias("d")).first()["d"])
+    return np.concatenate(
+        [np.asarray(_hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)]
+    ).T
+
+
+def _sign_buckets(df: DataFrame, id_col: str, vec_col: str, id_alias: str,
+                  mat: np.ndarray, n_planes: int, n_tables: int) -> DataFrame:
+    """Explode df to one row per (row, hash table) carrying the table's
+    sign-pattern bucket key. Signatures come from ONE Arrow-batched
+    mapInPandas matmul against the full plane matrix, which ships once in
+    the task closure (a few hundred KB even at 768-d) — NOT as per-element
+    column literals, which at real dimensions meant ~n_tables*n_planes*dim
+    literal expressions in the plan (slow analysis/codegen, driver-memory
+    pressure)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    src = df.select(F.col(id_col).alias(id_alias),
+                    F.col(vec_col).alias(f"{id_alias}_vec"))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[f"{id_alias}_vec"]]
+            )
+            bits = (vecs @ mat) >= 0          # (batch, n_tables*n_planes)
+            chars = np.where(bits, "1", "0")
+            for t in range(n_tables):
+                sig = [
+                    f"t{t}:" + "".join(row)
+                    for row in chars[:, t * n_planes:(t + 1) * n_planes]
+                ]
+                out = pdf.copy()
+                out["bucket"] = sig
+                yield out
+
+    return src.mapInPandas(
+        gen,
+        schema=f"{id_alias} {id_type}, {id_alias}_vec {vec_type}, bucket string",
+    )
+
+
 def lsh_cosine_topk(
     items: DataFrame,
     queries: DataFrame,
@@ -112,53 +161,11 @@ def lsh_cosine_topk(
     seed: int = 7,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane sign buckets, exact rerank within
-    candidates. dim is read from the first row (driver-side, once).
-
-    Signatures are computed by ONE Arrow-batched mapInPandas matmul against
-    the full (n_tables*n_planes, dim) plane matrix, which ships once in the
-    task closure (a few hundred KB even at 768-d) — NOT as per-element
-    column literals, which at real dimensions meant ~n_tables*n_planes*dim
-    literal expressions in the plan (slow analysis/codegen, driver-memory
-    pressure). The candidate-join shape is unchanged: a broadcast equi-join
-    on the bucket key, then exact rerank."""
-    first = items.select(F.size(vec_col).alias("d")).first()
-    dim = int(first["d"])
-    # (dim, n_tables*n_planes): one matmul yields every table's sign bits
-    mat = np.concatenate(
-        [np.asarray(_hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)]
-    ).T
-
-    def with_sigs(df, id_alias):
-        id_type = df.schema[id_col].dataType.simpleString()
-        vec_type = df.schema[vec_col].dataType.simpleString()
-        src = df.select(F.col(id_col).alias(id_alias),
-                        F.col(vec_col).alias(f"{id_alias}_vec"))
-
-        def gen(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                vecs = np.array(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[f"{id_alias}_vec"]]
-                )
-                bits = (vecs @ mat) >= 0          # (batch, n_tables*n_planes)
-                chars = np.where(bits, "1", "0")
-                for t in range(n_tables):
-                    sig = [
-                        f"t{t}:" + "".join(row)
-                        for row in chars[:, t * n_planes:(t + 1) * n_planes]
-                    ]
-                    out = pdf.copy()
-                    out["bucket"] = sig
-                    yield out
-
-        return src.mapInPandas(
-            gen,
-            schema=f"{id_alias} {id_type}, {id_alias}_vec {vec_type}, bucket string",
-        )
-
-    qb = with_sigs(queries, "query_id")
-    ib = with_sigs(items, "vec_id")
+    candidates (see _sign_buckets for the signature plumbing). The candidate
+    join is a broadcast equi-join on the bucket key, then exact rerank."""
+    mat = _plane_matrix(items, vec_col, n_planes, n_tables, seed)
+    qb = _sign_buckets(queries, id_col, vec_col, "query_id", mat, n_planes, n_tables)
+    ib = _sign_buckets(items, id_col, vec_col, "vec_id", mat, n_planes, n_tables)
     cand = (
         ib.join(F.broadcast(qb), "bucket")
         .where(F.col("vec_id") != F.col("query_id"))
@@ -177,3 +184,79 @@ def lsh_cosine_topk(
         ).alias("cosine"),
     )
     return _two_phase_topk(scored, k)
+
+
+def cosine_neardup_pairs(
+    items: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "lsh",
+    n_planes: int = 8,
+    n_tables: int = 12,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: every unordered pair with
+    cosine(a, b) >= threshold, as (vec_id_a < vec_id_b, cosine) rows.
+
+    The dedup counterpart of the reference's vector search (reference
+    src/search_index.py builds the same embedding space; near-dup filtering
+    over it is the training-data-pipeline use). Two modes sharing one output
+    contract (cosine is exact in both — LSH only prunes CANDIDATES, so
+    precision is always 1.0):
+
+      mode="exact" — all-pairs self-join (id_a < id_b) with JVM-side
+        zip_with/aggregate dot products. O(n^2): the correctness baseline
+        and the DuckDB-oracle path, same role as cosine_topk's brute force.
+      mode="lsh" — the scale path: random-hyperplane sign buckets
+        (n_tables tables of n_planes bits; see _sign_buckets), candidates
+        are pairs sharing ANY table's bucket — a bucketed equi-join, never
+        all-pairs — then exact cosine verify. Expected recall for a pair at
+        angle theta: 1 - (1 - p^n_planes)^n_tables with p = 1 - theta/pi;
+        the defaults give >0.98 at cosine >= 0.85 (true near-dup range).
+        At 100 TB the bucket join shuffles only (bucket, id, vec) rows —
+        skew is bounded because a bucket holds ~n/2^n_planes vectors per
+        table in the random-hyperplane model.
+
+    Output: (vec_id_a, vec_id_b, cosine) with cosine rounded to 6 dp;
+    the threshold is applied to the ROUNDED value so the DuckDB oracle
+    (which rounds the same way) sees the identical pair set.
+    """
+    if mode not in ("exact", "lsh"):
+        raise ValueError(f"mode must be 'exact' or 'lsh', got {mode!r}")
+    if mode == "exact":
+        a = items.select(
+            F.col(id_col).alias("vec_id_a"),
+            F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("va"),
+        )
+        b = items.select(
+            F.col(id_col).alias("vec_id_b"),
+            F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("vb"),
+        )
+        cand = a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+    else:
+        mat = _plane_matrix(items, vec_col, n_planes, n_tables, seed)
+        sa = _sign_buckets(items, id_col, vec_col, "vec_id_a", mat,
+                           n_planes, n_tables)
+        sb = _sign_buckets(items, id_col, vec_col, "vec_id_b", mat,
+                           n_planes, n_tables)
+        cand = (
+            sa.join(sb, "bucket")
+            .where(F.col("vec_id_a") < F.col("vec_id_b"))
+            # a pair can collide in several tables: one verify per pair
+            .dropDuplicates(["vec_id_a", "vec_id_b"])
+            .select(
+                "vec_id_a",
+                "vec_id_b",
+                F.transform("vec_id_a_vec", lambda v: v.cast("double")).alias("va"),
+                F.transform("vec_id_b_vec", lambda v: v.cast("double")).alias("vb"),
+            )
+        )
+    return (
+        cand.select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -850,6 +850,32 @@ def q_ann_lsh_recall(spark, sf_dir):
     ).orderBy("query_id")
 
 
+def q_ann_ivf_recall(spark, sf_dir):
+    """Recall@10 of IVF coarse-quantized cosine top-k vs exact — the same
+    eval the reference publishes for its faiss IndexIVFFlat vs IndexFlatIP
+    (/root/reference/docs/Search-Index-Evaluation.md). Seeded RANDOM unit
+    centroids (data-independent) so the DuckDB oracle can inline the
+    identical quantizer; the k-means-trained path is covered by
+    test_pipeline.py recall assertions (training is data-dependent, so no
+    SQL reconstruction exists for it)."""
+    from wise_spark.eval import recall_at_k
+    from wise_spark.pipeline import cosine_topk, ivf_centroids_random, ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = ivf_centroids_random(64, 8, seed=7)
+    exact = cosine_topk(emb, queries, k=10).select(
+        "query_id", F.col("vec_id").alias("doc_id")
+    )
+    ivf = ivf_cosine_topk(
+        emb, queries, k=10, n_lists=8, n_probe=3, centroids=cents
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    rec = recall_at_k(ivf, exact, 10)
+    return rec.select(
+        "query_id", F.round("recall", 6).alias("recall")
+    ).orderBy("query_id")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -903,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_map_bm25": q_eval_map_bm25,
         "eval_ndcg_bm25": q_eval_ndcg_bm25,
         "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_customers": q_rel_top_customers,
         "rel_customers_without_orders": q_rel_customers_without_orders,
@@ -1248,6 +1275,78 @@ SELECT e.query_id,
        round(CAST(count(l.vec_id) AS DOUBLE) / count(*), 6) AS recall
 FROM exact e
 LEFT JOIN (SELECT query_id, vec_id FROM lsh WHERE rk <= 10) l
+  ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+GROUP BY e.query_id ORDER BY e.query_id
+"""
+    from wise_spark.pipeline.similarity import ivf_centroids_random
+    _cents = ivf_centroids_random(64, 8, seed=7)
+    _cent_rows = ",\n  ".join(
+        f"({li}, {[float(x) for x in _cents[li]]!r})" for li in range(8)
+    )
+    # assignment/probe use PLAIN dot products: centroids are unit-norm, so
+    # the cosine-nearest list is the dot-product argmax (ties -> lowest
+    # list_id, min top1-top2 gap on this data >= 2.3e-5 — far above
+    # double-summation noise, so numpy and DuckDB agree exactly)
+    sqls["ann_ivf_recall"] = f"""
+WITH cent(list_id, cv) AS (VALUES
+  {_cent_rows}),
+dv AS (SELECT vec_id, embedding,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
+       FROM embeddings),
+asgn AS (
+  SELECT vec_id, embedding, list_id FROM (
+    SELECT e.vec_id, e.embedding, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.dvec, c.cv) DESC,
+                                       c.list_id) AS rn
+    FROM dv e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, embedding, list_id FROM (
+    SELECT e.vec_id, e.embedding, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.dvec, c.cv) DESC,
+                                       c.list_id) AS rn
+    FROM dv e CROSS JOIN cent c WHERE e.vec_id < 5
+  ) WHERE rn <= 3
+),
+cand AS (
+  SELECT q.query_id, i.vec_id,
+         list_transform(q.embedding, x -> CAST(x AS DOUBLE)) AS qv,
+         list_transform(i.embedding, x -> CAST(x AS DOUBLE)) AS iv
+  FROM asgn i JOIN qprobe q ON i.list_id = q.list_id AND i.vec_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(qv, iv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(iv, iv))), 6) AS cosine
+  FROM cand
+),
+ivf AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+),
+alld AS (
+  SELECT q.vec_id AS query_id, i.vec_id,
+         round(list_dot_product(q.dvec, i.dvec) /
+               (sqrt(list_dot_product(q.dvec, q.dvec)) *
+                sqrt(list_dot_product(i.dvec, i.dvec))), 6) AS cosine
+  FROM dv i, dv q
+  WHERE q.vec_id < 5 AND i.vec_id <> q.vec_id
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+    FROM alld
+  ) WHERE rk <= 10
+)
+SELECT e.query_id,
+       round(CAST(count(l.vec_id) AS DOUBLE) / count(*), 6) AS recall
+FROM exact e
+LEFT JOIN (SELECT query_id, vec_id FROM ivf WHERE rk <= 10) l
   ON e.query_id = l.query_id AND e.vec_id = l.vec_id
 GROUP BY e.query_id ORDER BY e.query_id
 """

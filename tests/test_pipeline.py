@@ -172,6 +172,64 @@ def test_cosine_neardup_lsh_precision_and_recall(spark):
     assert planted <= set(a)                      # ~0.999-cosine dups: all found
 
 
+def test_ivf_subset_of_exact_and_recall(spark):
+    """IVF candidates are exact-reranked, so every emitted neighbor is a
+    true neighbor within the probed lists; with n_probe=half the lists on
+    random data recall vs exact must be substantial."""
+    from wise_spark.pipeline import cosine_topk, ivf_centroids_random, ivf_cosine_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((80, 16)).astype(np.float32)
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(df, q, k=5).toPandas()
+    ivf = ivf_cosine_topk(
+        df, q, k=5, n_lists=8, n_probe=4,
+        centroids=ivf_centroids_random(16, 8, seed=7),
+    ).toPandas()
+    e = {(r.query_id, r.vec_id): r.cosine for r in exact.itertuples()}
+    a = {(r.query_id, r.vec_id): r.cosine for r in ivf.itertuples()}
+    hits = set(a) & set(e)
+    assert all(e[kk] == a[kk] for kk in hits)     # identical exact rerank cosine
+    assert len(hits) / len(e) >= 0.4              # probing half the lists
+
+
+def test_ivf_trained_centroids_find_clusters(spark):
+    """Spherical k-means training on clustered data: with n_probe=1 the
+    query's own cluster is probed, so within-cluster neighbors are found —
+    trained recall must beat the data-blind random quantizer's."""
+    from wise_spark.pipeline import (
+        cosine_topk,
+        ivf_centroids_random,
+        ivf_cosine_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(6)
+    centers = rng.standard_normal((4, 16)) * 4
+    vecs = np.vstack(
+        [centers[i % 4] + rng.standard_normal(16) * 0.3 for i in range(100)]
+    ).astype(np.float32)
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 4)            # one query per cluster
+    exact = cosine_topk(df, q, k=5).toPandas()
+    e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+
+    def recall(cents):
+        got = ivf_cosine_topk(
+            df, q, k=5, n_lists=4, n_probe=1, centroids=cents
+        ).toPandas()
+        a = {(r.query_id, r.vec_id) for r in got.itertuples()}
+        return len(a & e) / len(e)
+
+    trained = recall(train_ivf_centroids(df, 4, sample_n=100, seed=7))
+    random_q = recall(ivf_centroids_random(16, 4, seed=7))
+    assert trained >= 0.95                        # k-means separates 4 blobs
+    assert trained >= random_q
+
+
 def test_sessionize(spark):
     from wise_spark.pipeline.relational import session_stats, sessionize
 

@@ -8,7 +8,14 @@ from .dedup import (
     simhash_fingerprints,
     simhash_pairs,
 )
-from .similarity import cosine_topk, lsh_cosine_topk, cosine_neardup_pairs
+from .similarity import (
+    cosine_topk,
+    lsh_cosine_topk,
+    cosine_neardup_pairs,
+    ivf_cosine_topk,
+    ivf_centroids_random,
+    train_ivf_centroids,
+)
 from .relational import (
     sessionize,
     best_per_group,
@@ -32,6 +39,9 @@ __all__ = [
     "cosine_topk",
     "lsh_cosine_topk",
     "cosine_neardup_pairs",
+    "ivf_cosine_topk",
+    "ivf_centroids_random",
+    "train_ivf_centroids",
     "sessionize",
     "best_per_group",
     "ordered_lookup",

@@ -260,3 +260,142 @@ def cosine_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer structure of the reference's
+# faiss IndexIVFFlat (reference docs/Search-Index-Evaluation.md): vectors are
+# assigned to their nearest centroid's list, queries probe only the n_probe
+# nearest lists, exact rerank inside the probed lists.
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids_random(dim: int, n_lists: int, seed: int = 7) -> np.ndarray:
+    """Deterministic unit-norm random centroids (a random coarse quantizer).
+    Data-independent, so an external engine (the DuckDB oracle) can inline
+    the identical centroids and reproduce list assignment exactly."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_lists, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def train_ivf_centroids(
+    items: DataFrame,
+    n_lists: int,
+    vec_col: str = "embedding",
+    sample_n: int = 65536,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Spherical k-means on a bounded driver-side sample — the same
+    train-on-a-sample contract as faiss (which trains IVF centroids on a
+    subset, not the full corpus). The sample is capped at sample_n rows, so
+    driver memory is bounded no matter the corpus size; the full corpus is
+    only ever touched by the distributed assignment matmul."""
+    rows = items.select(vec_col).limit(sample_n).collect()
+    v = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+    v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = v[rng.choice(len(v), size=min(n_lists, len(v)), replace=False)]
+    if len(cent) < n_lists:   # tiny sample: pad with random directions
+        cent = np.vstack([cent, ivf_centroids_random(v.shape[1],
+                                                     n_lists - len(cent), seed)])
+    for _ in range(iters):
+        assign = np.argmax(v @ cent.T, axis=1)
+        for li in range(n_lists):
+            members = v[assign == li]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    cent[li] = m / n
+            else:               # empty list: reseed from the sample
+                cent[li] = v[rng.integers(0, len(v))]
+    return cent
+
+
+def ivf_cosine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer: exact rerank inside
+    the n_probe lists nearest to each query. recall < 1 by design — the
+    identical trade the reference makes with IVF nprobe.
+
+    centroids: a (n_lists, dim) unit-row matrix; None trains spherical
+    k-means on a bounded sample (train_ivf_centroids); pass
+    ivf_centroids_random(...) for a data-independent quantizer an external
+    oracle can reproduce. Centroids are unit-norm, so the cosine-nearest
+    list is the argmax of PLAIN dot products (no per-row norm) — ties break
+    to the lowest list_id in both the numpy and SQL formulations.
+
+    Scale shape: assignment is one Arrow-batched matmul per batch (the
+    centroid matrix ships once in the closure); the candidate join is a
+    bucketed equi-join on list_id with the (tiny) exploded query-probe side
+    broadcast; rerank is exact JVM cosine + the shared two-phase top-k. At
+    10^12 vectors the list assignment is a natural partition/cluster key —
+    nothing ever materializes all-pairs.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(items, n_lists, vec_col, seed=seed)
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    def assign_items(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf["ivec"]])
+            out = pdf.copy()
+            out["list_id"] = np.argmax(vecs @ C.T, axis=1).astype(np.int32)
+            yield out
+
+    def probe_queries(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf["qvec"]])
+            sims = vecs @ C.T
+            # stable sort on -sim keeps list_id ascending among exact ties
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            for p in range(order.shape[1]):
+                out = pdf.copy()
+                out["list_id"] = order[:, p].astype(np.int32)
+                yield out
+
+    id_type = items.schema[id_col].dataType.simpleString()
+    vec_type = items.schema[vec_col].dataType.simpleString()
+    ia = items.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("ivec")
+    ).mapInPandas(
+        assign_items, schema=f"vec_id {id_type}, ivec {vec_type}, list_id int"
+    )
+    qp = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).mapInPandas(
+        probe_queries, schema=f"query_id {id_type}, qvec {vec_type}, list_id int"
+    )
+    cand = (
+        ia.join(F.broadcast(qp), "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "qvec", "ivec")
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _cosine(
+                F.transform("qvec", lambda v: v.cast("double")),
+                F.transform("ivec", lambda v: v.cast("double")),
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return _two_phase_topk(scored, k)

@@ -588,6 +588,7 @@ def run_scaling(n_docs: int, cores_list: list[int]):
     attempts = 0
     r = 0
     discarded: list[dict] = []
+    cur_docs = n_docs
     while len(pairs) < repeats and attempts < repeats + max_extra:
         # never start a pair the budget can't fit: on expiry we top up
         # from discarded pairs and STILL emit the final JSON (r3 died
@@ -598,6 +599,20 @@ def run_scaling(n_docs: int, cores_list: list[int]):
         # kept burning attempts on 60s-floor worker timeouts (r4 observed)
         if pairs or discarded or _remaining() <= 0:
             if _remaining() < est_pair_s:
+                # half-size fallback before giving up: a gate-clean 500k
+                # pair (controlled post-fix measurement at 500k: eff 0.83,
+                # same as 1M) beats topping up from contaminated full-size
+                # pairs. Builds are ~80% of pair cost, so half the docs ~=
+                # 0.6x the pair (refined by the next measured pair).
+                half = cur_docs // 2
+                if half >= 500_000 and _remaining() >= est_pair_s * 0.6:
+                    cur_docs = half
+                    est_pair_s *= 0.6
+                    log(f"  budget tight — dropping to {cur_docs}-doc pairs "
+                        f"(remaining {_remaining():.0f}s, est pair now "
+                        f"{est_pair_s:.0f}s)")
+                    _materialize_corpus(cur_docs)
+                    continue
                 log(f"  wall-clock budget expired with {len(pairs)}/{repeats} "
                     f"clean pairs (remaining {_remaining():.0f}s < est pair "
                     f"{est_pair_s:.0f}s)")
@@ -612,8 +627,9 @@ def run_scaling(n_docs: int, cores_list: list[int]):
         tp0 = time.time()
         pair = {}
         for cores in cores_list:
-            res = _run_one_level(cores, n_docs, r)
+            res = _run_one_level(cores, cur_docs, r)
             if res is not None:
+                res["n_docs"] = cur_docs   # half-size fallback pairs visible
                 runs_by_level[cores].append(res)
                 pair[cores] = res
         if len(pair) == len(cores_list):
@@ -1063,6 +1079,12 @@ def _run_scaling_section(out: dict, n_docs: int, partial_path: str,
             "scaling_efficiency_pairs": effs_pairs,
             "scaling_efficiency_clean": effs_clean,
             "scaling_efficiency_best": effs_best,
+            # doc count each pair actually ran (half-size fallback pairs
+            # show up here; efficiency ratios are size-consistent per pair)
+            "scaling_pair_docs": [
+                p[cores_list[0]].get("n_docs", n_docs)
+                for p in pairs if cores_list[0] in p
+            ],
             "pairs_completed": info.get("pairs_completed", len(pairs)),
             "pairs_requested": info.get("pairs_requested"),
             # contended = the protocol could not fill its sample with clean
@@ -1089,6 +1111,7 @@ def _run_scaling_section(out: dict, n_docs: int, partial_path: str,
             record = {
                 "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                 "n_docs": n_docs,
+                "pair_docs": out.get("scaling_pair_docs"),
                 "scaling_efficiency": effs,
                 "scaling_efficiency_pairs": effs_pairs,
                 "scaling_efficiency_clean": effs_clean,

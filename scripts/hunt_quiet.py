@@ -95,7 +95,7 @@ def run_once(mode: str, budget_s: float) -> dict | None:
     env = {**os.environ, "SPARK_GRAFT_BENCH_DEADLINE_S": str(int(budget_s))}
     if mode == "scaling":
         env["SPARK_GRAFT_SKIP_HEADLINE"] = "1"
-        env.setdefault("SPARK_GRAFT_BENCH_REPEATS", "2")
+        env.setdefault("SPARK_GRAFT_BENCH_REPEATS", "4")
         env.setdefault("SPARK_GRAFT_WAIT_QUIET_S", "120")
     else:
         env["SPARK_GRAFT_SKIP_SCALE"] = "1"

@@ -23,21 +23,29 @@ def bench(monkeypatch):
     monkeypatch.setattr(mod, "_materialize_corpus", lambda n: "/nonexistent")
     # unit tests must not sleep in the host-quiet gates
     monkeypatch.setenv("SPARK_GRAFT_WAIT_QUIET_S", "0")
+    # one build per worker keeps the attempt arithmetic of these tests
+    # (the multi-build protocol has its own test below)
+    monkeypatch.setenv("SPARK_GRAFT_TIMED_BUILDS", "1")
     return mod
+
+
+def _sample(n_docs, dps, steal, probe):
+    return {"build_s": round(n_docs / dps, 2), "docs_per_sec": dps,
+            "steal_pct": steal, "probe_s": probe,
+            "query_p50_s": 0.5, "query_p99_s": 0.7, "n_queries": 20}
 
 
 def _mk_runner(samples):
     """samples: dict cores -> list of (docs_per_sec, steal, probe) served in
-    order; repeats the last one when exhausted."""
+    order; repeats the last one when exhausted. Returns a one-build list per
+    call (the worker's multi-build shape)."""
     state = {c: 0 for c in samples}
 
     def run(cores, n_docs, r, max_attempts=2):
         i = min(state[cores], len(samples[cores]) - 1)
         state[cores] += 1
         dps, steal, probe = samples[cores][i]
-        return {"build_s": round(n_docs / dps, 2), "docs_per_sec": dps,
-                "steal_pct": steal, "probe_s": probe,
-                "query_p50_s": 0.5, "query_p99_s": 0.7, "n_queries": 20}
+        return [_sample(n_docs, dps, steal, probe)]
     return run
 
 
@@ -104,11 +112,11 @@ def test_exit_probe_gate_discards_midbuild_contention(bench, monkeypatch):
                          8: [(5000, 0.1, 1.0), (26000, 0.1, 1.0)]})
 
     def run(cores, n_docs, r, max_attempts=2):
-        res = runner(cores, n_docs, r, max_attempts)
+        res = runner(cores, n_docs, r, max_attempts)[0]
         # first 8-core run: clean entry, poisoned exit (neighbor arrived
         # during the build and tanked docs_per_sec to 5000)
         res["probe_after_s"] = 4.0 if (cores == 8 and res["docs_per_sec"] == 5000) else 1.0
-        return res
+        return [res]
 
     monkeypatch.setattr(bench, "_run_one_level", run)
     results, pairs, info = bench.run_scaling(500_000, [2, 8])
@@ -126,11 +134,11 @@ def test_worker_cpu_probe_gate(bench, monkeypatch):
                          8: [(7000, 0.1, 1.0), (26000, 0.1, 1.0)]})
 
     def run(cores, n_docs, r, max_attempts=2):
-        res = runner(cores, n_docs, r, max_attempts)
+        res = runner(cores, n_docs, r, max_attempts)[0]
         slow = cores == 8 and res["docs_per_sec"] == 7000
         res["wprobe_pre_s"] = 1.0
         res["wprobe_after_s"] = 3.5 if slow else 1.0
-        return res
+        return [res]
 
     monkeypatch.setattr(bench, "_run_one_level", run)
     results, pairs, info = bench.run_scaling(500_000, [2, 8])
@@ -192,3 +200,31 @@ def test_halfsize_fallback_bottoms_out_at_500k(bench, monkeypatch):
     assert info["deadline_hit"] is True
     assert info["pairs_completed"] == 1
     assert calls["n"] == 2
+
+
+def test_multibuild_worker_pairs_positionally(bench, monkeypatch):
+    """One attempt with 2 timed builds per worker must yield 2 pairs, paired
+    positionally (build i at N with build i at 4N), each gated on its own:
+    a steal-dirty second wide build discards only ITS pair."""
+    monkeypatch.setenv("SPARK_GRAFT_TIMED_BUILDS", "2")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPEATS", "2")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_EXTRA_PAIRS", "0")
+    monkeypatch.setenv("SPARK_GRAFT_WARMUP_PAIRS", "0")
+    calls = {"n": 0}
+
+    def run(cores, n_docs, r, max_attempts=2):
+        calls["n"] += 1
+        if cores == 2:
+            return [_sample(n_docs, 8000, 0.1, 1.0),
+                    _sample(n_docs, 8100, 0.1, 1.0)]
+        return [_sample(n_docs, 26000, 0.1, 1.0),
+                _sample(n_docs, 25000, 5.0, 1.0)]  # dirty second build
+
+    monkeypatch.setattr(bench, "_run_one_level", run)
+    results, pairs, info = bench.run_scaling(500_000, [2, 8])
+    # one attempt (2 worker calls), 2 positional pairs, 1 clean + 1 topped up
+    assert calls["n"] == 2
+    assert info["pairs_completed"] == 2 and info["topped_up_pairs"] == 1
+    clean = [p for p in pairs if not p.get("_topped_up")]
+    assert len(clean) == 1 and clean[0][8]["docs_per_sec"] == 26000
+    assert clean[0][2]["docs_per_sec"] == 8000  # positional: build 0 with build 0

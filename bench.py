@@ -527,7 +527,19 @@ def _run_one_level(cores: int, n_docs: int, r: int, max_attempts: int = 2):
         # pin the driver process tree; the mini-cluster pins its own
         # worker to WORKER_CPUS independently
         cmd = ["taskset", "-c", DRIVER_CPUS] + cmd
-    env = {**os.environ, "SPARK_GRAFT_BENCH_DOCS": str(n_docs)}
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_BENCH_DOCS": str(n_docs),
+        # same allocator treatment the executors get (cluster.py session
+        # conf): route the DRIVER's pyarrow through glibc malloc pinned to
+        # a recycled arena — the driver does repeated pyarrow work (terms
+        # aggregation, lineage, footer walks) and jemalloc's decay returns
+        # dirty pages that refault at a VM exit each under firecracker
+        "ARROW_DEFAULT_MEMORY_POOL": os.environ.get("WISE_ARROW_POOL", "system"),
+        "MALLOC_MMAP_THRESHOLD_": "536870912",
+        "MALLOC_TRIM_THRESHOLD_": "536870912",
+        "MALLOC_MMAP_MAX_": "0",
+    }
     if cores in _QUERIES_DONE:
         env["SPARK_GRAFT_SKIP_QUERIES"] = "1"
     for attempt in range(max_attempts):

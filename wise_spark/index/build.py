@@ -106,6 +106,33 @@ LAYOUT_VERSION = 3
 # ~4 MB compressed ≈ 50-100 MB of flat posting arrays in the worker
 SEG_TASK_TOKEN_BYTES = 4 << 20
 
+_ARROW_THREADS_BOUNDED = False
+
+
+def _bound_driver_arrow_threads() -> None:
+    """Cap pyarrow's CPU pool at the process's ACTUAL cpu affinity, once.
+
+    pyarrow sizes its pool from os.cpu_count() (host CPUs), ignoring
+    taskset/sched_setaffinity. A driver pinned to 4 CPUs (cluster-bench
+    shape: the driver node owns a fixed CPU slice while executor width
+    varies) otherwise timeslices a 32-thread pool over 4 CPUs — measured
+    on the 1M-doc terms aggregation: ~12 CPU-seconds of pool work for
+    ~1 CPU-second of compute, walls of 0.7-2.35 s instead of ~0.2 s, and
+    pathological run-to-run variance. No-op when affinity == host CPUs."""
+    global _ARROW_THREADS_BOUNDED
+    if _ARROW_THREADS_BOUNDED:
+        return
+    _ARROW_THREADS_BOUNDED = True
+    import pyarrow as _pa
+
+    try:
+        n = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        return
+    if n < _pa.cpu_count():
+        _pa.set_cpu_count(max(1, n))
+        _pa.set_io_thread_count(max(2, n))
+
 
 @dataclass
 class IndexMeta:
@@ -570,8 +597,29 @@ def _write_terms_driver_side(segments_path: str, terms_path: str,
     import pyarrow.dataset as _ds
     import pyarrow.parquet as _pqw
 
+    _bound_driver_arrow_threads()
     schema = pa.schema([("term", pa.string()), ("df", pa.int64()),
                         ("max_tfc", pa.float64())])
+
+    def _cpu_busy_0_3() -> float:
+        # busy jiffies summed over cpu0-3 (the pinned driver CPU set):
+        # profiling discriminator between "this python work is memory-
+        # stalled" (own cpu ~ wall) and "another process on the driver
+        # CPUs preempts it" (own cpu << wall, cpu0-3 busy >> own cpu)
+        tot = 0.0
+        try:
+            with open("/proc/stat") as f:
+                for line in f:
+                    if line.startswith(("cpu0 ", "cpu1 ", "cpu2 ", "cpu3 ")):
+                        v = [int(x) for x in line.split()[1:]]
+                        tot += sum(v) - v[3] - v[4]  # minus idle+iowait
+        except OSError:
+            pass
+        return tot / os.sysconf("SC_CLK_TCK")
+
+    _prof = bool(os.environ.get("SPARK_GRAFT_PROFILE_STAGES"))
+    if _prof:
+        _cpu0, _busy0 = time.process_time(), _cpu_busy_0_3()
     _tp0 = time.time()
     raw = _ds.dataset(segments_path, format="parquet").to_table(
         columns=["term", "n", "max_tfc"])
@@ -598,11 +646,14 @@ def _write_terms_driver_side(segments_path: str, terms_path: str,
         pass
     _shutil.rmtree(terms_path, ignore_errors=True)
     os.replace(tmp, terms_path)
-    if os.environ.get("SPARK_GRAFT_PROFILE_STAGES"):
+    if _prof:
+        wall = time.time() - _tp0
         print(
             f"[stage-prof] terms-driver: read={_tp1 - _tp0:.3f}s "
             f"agg_sort={_tp2 - _tp1:.3f}s write={time.time() - _tp2:.3f}s "
-            f"rows_in={raw.num_rows} rows_out={t.num_rows}",
+            f"rows_in={raw.num_rows} rows_out={t.num_rows} "
+            f"wall={wall:.3f}s own_cpu={time.process_time() - _cpu0:.3f}s "
+            f"cpu0-3_busy={_cpu_busy_0_3() - _busy0:.3f}s",
             file=sys.stderr, flush=True,
         )
 
@@ -805,6 +856,7 @@ def build_index(
         import pyarrow.compute as _pc
         import pyarrow.dataset as _ds
 
+        _bound_driver_arrow_threads()
         _dl = _ds.dataset(doc_map_path).to_table(columns=["doclen"]).column("doclen")
         total_tokens = int(_pc.sum(_dl).as_py() or 0)
     else:

@@ -8,6 +8,7 @@ recall@k."""
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import numpy as np
@@ -205,3 +206,31 @@ def test_terms_driver_side_writer(tmp_path):
     got2 = pq.read_table(sorted(out2.glob("*.parquet"))[0])
     assert got2.num_rows == 0
     assert got2.column_names == ["term", "df", "max_tfc"]
+
+
+def test_arrow_pool_bounded_to_affinity():
+    """A driver pinned to a CPU subset must not run pyarrow's host-sized
+    thread pool timesliced over it (measured: ~12 CPU-s of pool churn for
+    ~1 CPU-s of compute on the 1M-doc terms aggregation, walls 0.7-2.35s
+    instead of ~0.2s). Subprocess: pin to 2 CPUs, touch the driver-side
+    terms path, assert the pool was capped."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os, pyarrow as pa, pyarrow.parquet as pq, tempfile\n"
+        "from wise_spark.index.build import _write_terms_driver_side\n"
+        "d = tempfile.mkdtemp(); o = tempfile.mkdtemp()\n"
+        "t = pa.table({'term': ['a'], 'n': [1], 'max_tfc': [1.0]})\n"
+        "pq.write_table(t, os.path.join(d, 'p.parquet'))\n"
+        "_write_terms_driver_side(d, os.path.join(o, 'terms'), n_files=1)\n"
+        "assert pa.cpu_count() == 2, pa.cpu_count()\n"
+        "assert pa.io_thread_count() == 2, pa.io_thread_count()\n"
+        "print('BOUND-OK')\n"
+    )
+    p = subprocess.run(
+        ["taskset", "-c", "0,1", sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert p.returncode == 0 and "BOUND-OK" in p.stdout, p.stderr[-2000:]

@@ -617,6 +617,46 @@ def q_mm_binary_metadata(spark, sf_dir):
     return binary_metadata(blobs).join(b64, "doc_id").orderBy("doc_id")
 
 
+def q_mm_decode_image_stats(spark, sf_dir):
+    """Real image decode end-to-end: per doc, synthesize an uncompressed
+    24-bit BMP whose dims and constant pixel value are pure functions of
+    doc_id (w = 3 + id%13, h = 1 + id%7, v = id%251), push it through the
+    pure-numpy BMP decoder (wise_spark.pipeline.multimodal.decode_image) and
+    the vectorized pixel aggregator (image_stats). Because the payload is a
+    closed form of doc_id, DuckDB can predict every output column without a
+    decoder — so the decode (header walk, bottom-up row order, 4-byte row
+    padding) is value-checked, not just rows-checked: a decoder that read
+    padding bytes or mis-sized rows would change sum_px/width/height."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from wise_spark.pipeline.multimodal import decode_image, encode_bmp, image_stats
+
+    def synth(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = [
+                encode_bmp(
+                    _np.full(
+                        (1 + int(i) % 7, 3 + int(i) % 13, 3),
+                        int(i) % 251,
+                        dtype=_np.uint8,
+                    )
+                )
+                for i in ids
+            ]
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(synth, schema="doc_id long, payload binary")
+    )
+    return image_stats(decode_image(blobs)).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # relational / window entries
 # ---------------------------------------------------------------------------
@@ -919,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "mm_binary_metadata": q_mm_binary_metadata,
+        "mm_decode_image_stats": q_mm_decode_image_stats,
         "rel_sessionize": q_rel_sessionize,
         "rel_tolerance_merge": q_rel_tolerance_merge,
         "rel_overlap_antijoin": q_rel_overlap_antijoin,
@@ -1454,6 +1495,19 @@ ORDER BY query_id, rank
     sqls["mm_binary_metadata"] = """
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
        md5(text) AS checksum, to_base64(encode(text)) AS payload_b64
+FROM documents ORDER BY doc_id
+"""
+    # the BMP payload is a closed form of doc_id (see q_mm_decode_image_stats),
+    # so the oracle predicts the decoder's output without decoding anything
+    sqls["mm_decode_image_stats"] = """
+SELECT doc_id,
+       CAST(3 + doc_id % 13 AS INT)  AS width,
+       CAST(1 + doc_id % 7 AS INT)   AS height,
+       CAST(3 AS INT)                AS channels,
+       CAST((3 + doc_id % 13) * (1 + doc_id % 7) * 3 * (doc_id % 251) AS BIGINT)
+           AS sum_px,
+       CAST((3 + doc_id % 13) * (1 + doc_id % 7) * 3 * (doc_id % 251) AS DOUBLE)
+           / ((3 + doc_id % 13) * (1 + doc_id % 7) * 3) AS mean_px
 FROM documents ORDER BY doc_id
 """
     _SRC_BM25 = """

@@ -265,9 +265,9 @@ def test_best_per_group_and_ordered_lookup(spark):
 
 def test_multimodal_plumbing(spark, small_docs):
     from wise_spark.pipeline.multimodal import (
+        _decode_image_bytes,
         attach_binary,
         binary_metadata,
-        decode_image,
         fake_feature_extract,
     )
 
@@ -283,8 +283,114 @@ def test_multimodal_plumbing(spark, small_docs):
     assert all(len(v) == 8 for v in feats["feature"])
     # deterministic: identical payloads -> identical features
     assert list(feats.loc[0, "feature"]) == list(feats.loc[1, "feature"])
+    # compressed / unknown magics stay an honest NotImplementedError
     with pytest.raises(NotImplementedError):
-        decode_image(blobs)
+        _decode_image_bytes(b"\xff\xd8\xff\xe0 fake jpeg")
+    with pytest.raises(NotImplementedError):
+        _decode_image_bytes(b"\x89PNG\r\n\x1a\n fake png")
+    with pytest.raises(NotImplementedError):
+        _decode_image_bytes(b"not an image at all")
+
+
+def test_bmp_ppm_wav_roundtrip():
+    """Pure-numpy codecs round-trip gradient data exactly (spec-level
+    checks: BMP bottom-up row order + 4-byte padding, top-down negative
+    height, netpbm header comments, WAV chunk walking)."""
+    import struct
+
+    import numpy as np
+
+    from wise_spark.pipeline.multimodal import (
+        decode_bmp_bytes,
+        decode_ppm_bytes,
+        decode_wav_bytes,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)  # w*3=21: padded rows
+    assert (decode_bmp_bytes(encode_bmp(img)) == img).all()
+    # top-down BMP: flip the height sign and the row order in the body
+    b = bytearray(encode_bmp(img[::-1]))
+    h = struct.unpack_from("<i", b, 22)[0]
+    struct.pack_into("<i", b, 22, -h)
+    assert (decode_bmp_bytes(bytes(b)) == img).all()
+
+    assert (decode_ppm_bytes(encode_ppm(img)) == img).all()
+    gray = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    assert (decode_ppm_bytes(encode_ppm(gray))[:, :, 0] == gray).all()
+    # header comments + arbitrary whitespace are legal netpbm
+    commented = b"P5\n# a comment\n 6\n# another\n4 255\n" + gray.tobytes()
+    assert (decode_ppm_bytes(commented)[:, :, 0] == gray).all()
+
+    pcm = rng.integers(-(2**15), 2**15, size=(100, 2), dtype=np.int16)
+    rate, out = decode_wav_bytes(encode_wav(pcm, 8000))
+    assert rate == 8000 and (out == pcm).all()
+    # mono 1-D input, plus an extra LIST chunk before data must be skipped
+    mono = pcm[:, 0]
+    raw = encode_wav(mono, 16000)
+    extra = raw[:12] + b"LIST" + struct.pack("<I", 4) + b"INFO" + raw[12:]
+    extra = extra[:4] + struct.pack("<I", len(extra) - 8) + extra[8:]
+    rate, out = decode_wav_bytes(extra)
+    assert rate == 16000 and (out[:, 0] == mono).all()
+
+
+def test_multimodal_decode_dataframes(spark):
+    """decode_image / decode_audio / resize_image / image_stats /
+    frame_sample over real encoded blobs, end-to-end through Spark."""
+    import numpy as np
+
+    from wise_spark.pipeline.multimodal import (
+        decode_audio,
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+        frame_sample,
+        image_stats,
+        resize_image,
+    )
+
+    img0 = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    img1 = (img0[::-1] // 2).astype(np.uint8)
+    blobs = spark.createDataFrame(
+        [(0, bytearray(encode_bmp(img0))), (1, bytearray(encode_ppm(img1)))],
+        "doc_id long, payload binary",
+    )
+    dec = decode_image(blobs).toPandas().set_index("doc_id").sort_index()
+    for did, img in ((0, img0), (1, img1)):
+        r = dec.loc[did]
+        got = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(
+            r["height"], r["width"], r["channels"]
+        )
+        assert (got == img).all()
+
+    small = resize_image(decode_image(blobs), 3, 2).toPandas().set_index("doc_id")
+    r = small.loc[0]
+    assert (r["width"], r["height"]) == (3, 2)
+    want = img0[(np.arange(2) * 4) // 2][:, (np.arange(3) * 6) // 3]
+    assert bytes(r["pixels"]) == want.tobytes()
+
+    stats = image_stats(decode_image(blobs)).toPandas().set_index("doc_id")
+    assert stats.loc[0, "sum_px"] == int(img0.sum())
+    assert abs(stats.loc[1, "mean_px"] - img1.mean()) < 1e-9
+
+    pcm = np.arange(-50, 50, dtype=np.int16)
+    wavs = spark.createDataFrame(
+        [(7, bytearray(encode_wav(pcm, 22050)))], "doc_id long, payload binary"
+    )
+    a = decode_audio(wavs).toPandas().iloc[0]
+    assert (a["sample_rate"], a["n_channels"], a["n_samples"]) == (22050, 1, 100)
+    assert (np.frombuffer(bytes(a["pcm"]), dtype="<i2") == pcm).all()
+
+    video = spark.createDataFrame(
+        [(3, bytearray(bytes(range(10)) * 5))], "doc_id long, payload binary"
+    )
+    frames = frame_sample(video, frame_bytes=10, every_k=2).toPandas()
+    assert frames["frame_idx"].tolist() == [0, 2, 4]
+    assert all(bytes(f) == bytes(range(10)) for f in frames["frame"])
 
 
 def test_quality_and_langid(small_docs):

@@ -2,19 +2,34 @@
 
 The reference decodes real media (torchaudio StreamReader,
 /root/reference/src/dataloader/dataset.py:213-336) into fixed-shape tensors
-and batch-extracts features. This container has no image/audio libraries, so
-the DECODE step is stubbed (NotImplementedError or a deterministic fake),
-while the Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
-signatures — is real and tested:
+and batch-extracts features. This container has no image/audio codec
+libraries, so COMPRESSED formats (JPEG/PNG/GIF/WEBP, mp3/ogg) stay behind an
+honest NotImplementedError — but every format whose spec is decodable with
+numpy alone is decoded FOR REAL, from the public file-format specs:
 
   binary_metadata      (real)  size/checksum over binary via mapInPandas
-  decode_image         (STUB)  raises NotImplementedError — wire in a real
-                               decoder (PIL/torchvision) on a cluster image
+  decode_image         (real)  BMP (uncompressed BI_RGB 24/32-bit, top-down
+                               and bottom-up, 4-byte row padding) and binary
+                               PPM/PGM (P6/P5, maxval<=255); compressed
+                               magics raise NotImplementedError inside the
+                               kernel — wire PIL/torchvision into the same
+                               mapInPandas slot on a cluster image
+  decode_audio         (real)  RIFF/WAVE PCM 16-bit (mono/stereo), header
+                               walk over chunks, int16 little-endian samples
+  resize_image         (real)  nearest-neighbor resize over decoded pixels
+  frame_sample         (real)  every-k-th fixed-size raw frame slice (the
+                               raw-video analog of the reference's
+                               StreamReader frame sampling)
+  image_stats          (real)  per-image sum/mean over decoded pixel bytes
   fake_feature_extract (fake)  deterministic pseudo-embedding from payload
                                bytes — stands in for CLIP/CLAP extractors
                                (/root/reference/src/feature/
                                mlfoundation_openclip.py:92-101) and keeps the
                                downstream similarity pipeline testable
+
+All kernels are Arrow-batched mapInPandas (one numpy pass per batch, no
+per-row Python UDFs); decoded pixels/PCM travel as a binary column + typed
+dims so downstream ops stay columnar.
 """
 
 from __future__ import annotations
@@ -56,13 +71,280 @@ def binary_metadata(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(run, schema=META_SCHEMA)
 
 
+IMG_SCHEMA = "doc_id long, width int, height int, channels int, pixels binary"
+AUDIO_SCHEMA = ("doc_id long, sample_rate int, n_channels int, n_samples long, "
+                "pcm binary")
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy codecs — spec-level implementations of uncompressed formats
+# (BMP: Windows BITMAPINFOHEADER layout; PPM/PGM: netpbm P6/P5; WAV: RIFF
+# PCM). No image/audio library involved, so these run anywhere Spark does.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Uncompressed 24-bit BI_RGB BMP (bottom-up rows, 4-byte row padding)
+    from an (h, w, 3) uint8 RGB array."""
+    import struct
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError("encode_bmp wants (h, w, 3) RGB")
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = body.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_bmp_bytes(b: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB from an uncompressed BI_RGB 24/32-bit BMP;
+    handles bottom-up (positive height) and top-down (negative) rows."""
+    import struct
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", b, 10)[0]
+    hdr_sz = struct.unpack_from("<I", b, 14)[0]
+    if hdr_sz < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h_raw = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP compression={compression} bpp={bpp}")
+    h = abs(h_raw)
+    nch = bpp // 8
+    row_bytes = (w * nch + 3) & ~3
+    rows = np.frombuffer(b, dtype=np.uint8, count=h * row_bytes, offset=off)
+    rows = rows.reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
+    if h_raw > 0:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[:, :, 2::-1])  # BGR(A) -> RGB
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Binary netpbm: P6 from (h, w, 3), P5 from (h, w) uint8."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        magic, h, w = b"P5", *a.shape
+    elif a.ndim == 3 and a.shape[2] == 3:
+        magic, (h, w, _) = b"P6", a.shape
+    else:
+        raise ValueError("encode_ppm wants (h, w) gray or (h, w, 3) RGB")
+    return b"%s\n%d %d\n255\n" % (magic, w, h) + a.tobytes()
+
+
+def decode_ppm_bytes(b: bytes) -> np.ndarray:
+    """(h, w, 3) RGB from P6 / (h, w, 1) gray from P5, maxval <= 255.
+    Header tokens may be separated by any whitespace and '#' comments."""
+    if b[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM")
+    nch = 3 if b[:2] == b"P6" else 1
+    toks, i = [], 2
+    while len(toks) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            i = b.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        toks.append(int(b[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval, then raster
+    w, h, maxval = toks
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    a = np.frombuffer(b, dtype=np.uint8, count=h * w * nch, offset=i)
+    return a.reshape(h, w, nch)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """RIFF/WAVE PCM 16-bit from an (n,) or (n, channels) int16 array."""
+    import struct
+
+    a = np.asarray(samples, dtype="<i2")
+    if a.ndim == 1:
+        a = a[:, None]
+    n, nch = a.shape
+    data = a.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, nch, sample_rate,
+                      sample_rate * nch * 2, nch * 2, 16)
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_bytes(b: bytes) -> tuple[int, np.ndarray]:
+    """(sample_rate, (n, channels) int16 array) from a RIFF/WAVE PCM-16 blob;
+    walks the chunk list, so extra chunks (LIST, fact, ...) are fine."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i, rate, nch, bits, data = 12, None, None, None, None
+    while i + 8 <= len(b):
+        cid, sz = b[i : i + 4], struct.unpack_from("<I", b, i + 4)[0]
+        if cid == b"fmt ":
+            audio_fmt, nch, rate = struct.unpack_from("<HHI", b, i + 8)
+            bits = struct.unpack_from("<H", b, i + 22)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(f"WAV fmt={audio_fmt} bits={bits}")
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + sz]
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    a = np.frombuffer(data, dtype="<i2")
+    return rate, a.reshape(-1, nch)
+
+
+def _decode_image_bytes(b: bytes) -> np.ndarray:
+    b = bytes(b)
+    if b[:2] == b"BM":
+        return decode_bmp_bytes(b)
+    if b[:2] in (b"P5", b"P6"):
+        a = decode_ppm_bytes(b)
+        return a if a.ndim == 3 else a[:, :, None]
+    if b[:3] == b"\xff\xd8\xff" or b[:4] in (b"\x89PNG", b"GIF8") \
+            or (b[:4] == b"RIFF" and b[8:12] == b"WEBP"):
+        raise NotImplementedError(
+            "compressed image codecs (JPEG/PNG/GIF/WEBP) need PIL/torchvision "
+            "— absent in this container; plug a decoder into this mapInPandas "
+            "slot on a cluster image (same IMG_SCHEMA batch shape)"
+        )
+    raise NotImplementedError("unsupported image format (unknown magic)")
+
+
 def decode_image(blobs: DataFrame) -> DataFrame:
-    """STUB — image decode requires PIL/torchvision, absent in this container.
-    The signature and batch shape are the contract a real decoder plugs into."""
-    raise NotImplementedError(
-        "image decode is stubbed in this environment; plug a decoder into "
-        "fake_feature_extract's mapInPandas slot (same schema/batch shape)"
-    )
+    """Decode (doc_id, payload) image blobs to IMG_SCHEMA rows: typed dims +
+    raw interleaved RGB/gray bytes. Real decode for BMP and binary PPM/PGM
+    (pure-numpy spec implementations above); compressed magics raise
+    NotImplementedError inside the kernel — the honest container limitation,
+    now scoped to exactly the formats that need a codec library."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "width": [], "height": [],
+                   "channels": [], "pixels": []}
+            for b in pdf["payload"]:
+                a = _decode_image_bytes(b)
+                out["height"].append(a.shape[0])
+                out["width"].append(a.shape[1])
+                out["channels"].append(a.shape[2])
+                out["pixels"].append(np.ascontiguousarray(a).tobytes())
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(run, schema=IMG_SCHEMA)
+
+
+def decode_audio(blobs: DataFrame) -> DataFrame:
+    """Decode (doc_id, payload) RIFF/WAVE PCM-16 blobs to AUDIO_SCHEMA rows:
+    rate/channels/sample-count + raw little-endian int16 PCM bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "sample_rate": [],
+                   "n_channels": [], "n_samples": [], "pcm": []}
+            for b in pdf["payload"]:
+                rate, a = decode_wav_bytes(bytes(b))
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(a.shape[1])
+                out["n_samples"].append(a.shape[0])
+                out["pcm"].append(a.astype("<i2").tobytes())
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+def resize_image(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize over IMG_SCHEMA rows (the reference resizes
+    every frame to the model's input size before feature extraction); one
+    numpy fancy-index per image, Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels = []
+            for px, w, h, c in zip(pdf["pixels"], pdf["width"],
+                                   pdf["height"], pdf["channels"]):
+                a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, c)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                pixels.append(np.ascontiguousarray(a[ys][:, xs]).tobytes())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": np.full(len(pdf), out_w, dtype=np.int32),
+                "height": np.full(len(pdf), out_h, dtype=np.int32),
+                "channels": pdf["channels"],
+                "pixels": pixels,
+            })
+
+    return decoded.mapInPandas(run, schema=IMG_SCHEMA)
+
+
+def image_stats(decoded: DataFrame) -> DataFrame:
+    """Per-image pixel aggregates over IMG_SCHEMA rows: (doc_id, width,
+    height, channels, sum_px bigint, mean_px double). One vectorized
+    np.add.reduceat pass per Arrow batch — no per-pixel Python."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lens = pdf["pixels"].map(len).to_numpy(dtype=np.int64)
+            flat = np.frombuffer(b"".join(bytes(p) for p in pdf["pixels"]),
+                                 dtype=np.uint8)
+            if len(flat) and (lens > 0).all():
+                starts = np.zeros(len(lens), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                sums = np.add.reduceat(flat.astype(np.int64), starts)
+            else:
+                # zero-length segments break reduceat's index contract;
+                # degenerate (empty-image) batches take the plain loop
+                sums = np.array([int(s.sum()) for s in
+                                 np.split(flat.astype(np.int64),
+                                          np.cumsum(lens[:-1]))],
+                                dtype=np.int64) if len(lens) else \
+                    np.zeros(0, dtype=np.int64)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "width": pdf["width"],
+                "height": pdf["height"], "channels": pdf["channels"],
+                "sum_px": sums,
+                "mean_px": sums / np.maximum(lens, 1),
+            })
+
+    return decoded.mapInPandas(
+        run, schema="doc_id long, width int, height int, channels int, "
+                    "sum_px long, mean_px double")
+
+
+def frame_sample(videos: DataFrame, frame_bytes: int, every_k: int) -> DataFrame:
+    """Every-k-th fixed-size frame from raw concatenated-frame video blobs
+    (doc_id, payload): the raw-uncompressed analog of the reference's
+    StreamReader frame sampling (/root/reference/src/dataloader/
+    dataset.py:213-336). Emits (doc_id, frame_idx, frame binary); trailing
+    partial frames are dropped. Container formats (mp4/mkv) need a demuxer
+    library — same honest limitation as compressed images."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b)
+                n = len(b) // frame_bytes
+                for i in range(0, n, every_k):
+                    ids.append(did)
+                    idxs.append(i)
+                    frames.append(b[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "frame_idx": pd.Series(idxs, dtype="int32"),
+                                "frame": frames})
+
+    return videos.mapInPandas(run, schema="doc_id long, frame_idx int, frame binary")
 
 
 def fake_feature_extract(blobs: DataFrame, dim: int = 16) -> DataFrame:

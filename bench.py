@@ -382,6 +382,7 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
     wprobe_pre = _worker_cpu_probe()
     with MiniCluster(cores=cores, worker_cpus=WORKER_CPUS[cores],
                      work_dir=cluster_dir, port=7200 + cores,
+                     executor_cores=_exec_cores(),
                      local_dirs=f"/dev/shm/wise_bench_local_{cores}") as mc:
         spark = mc.session(
             executor_cores=_exec_cores(),

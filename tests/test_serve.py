@@ -211,9 +211,12 @@ def test_spark_search_fn_end_to_end(spark, corpus_sdf, tmp_path_factory):
                        n_salts=2, n_waves=1)
     idx = FtsIndex(spark, d, meta, cache=True)
     q = "nababa pebaba"
-    want = idx.hydrate(
-        page(idx.topk(q, k=5, mode="any", method="wand"), start=0, end=5)
-    ).collect()
+    want = sorted(
+        idx.hydrate(
+            page(idx.topk(q, k=5, mode="any", method="wand"), start=0, end=5)
+        ).collect(),
+        key=lambda r: r["rank"],
+    )
 
     srv = SearchServer(spark_search_fn(idx), corpus_size=meta.n_docs)
     port = srv.start()

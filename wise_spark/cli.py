@@ -177,8 +177,20 @@ def cmd_console(args) -> int:
         if not queries:
             print("no --query given", file=sys.stderr)
             continue
-        topk = int(spec["topk"][-1]) if spec.get("topk") else args.topk
+        try:
+            topk = int(spec["topk"][-1]) if spec.get("topk") else args.topk
+        except ValueError:
+            # a typo must re-prompt, not kill the session (reference
+            # search.py's console loop swallows per-line errors the same way)
+            print(f"invalid --topk {spec['topk'][-1]!r}: not an integer",
+                  file=sys.stderr)
+            continue
         mode = spec.get("mode", args.mode)
+        if isinstance(mode, list):
+            mode = mode[-1]
+        if mode not in ("any", "all"):
+            print(f"invalid --mode {mode!r}: use any|all", file=sys.stderr)
+            continue
         t0 = time.time()
         try:
             for q in queries + ([spec["not_query"]] if spec.get("not_query") else []):

@@ -74,7 +74,8 @@ class MiniCluster:
     def __init__(self, cores: int, worker_cpus: str, work_dir: str,
                  port: int = 7077, memory_gb: int = 48,
                  local_dirs: str | None = None,
-                 per_cpu_workers: bool = True):
+                 per_cpu_workers: bool = True,
+                 executor_cores: int = 1):
         self.cores = cores
         self.worker_cpus = worker_cpus
         self.work_dir = work_dir
@@ -82,6 +83,10 @@ class MiniCluster:
         self.memory_gb = memory_gb
         self.local_dirs = local_dirs  # executor scratch (shuffle/spill)
         self.per_cpu_workers = per_cpu_workers
+        # each pinned worker must offer exactly one executor's worth of
+        # cores, or the master can never place an executor on it (e.g.
+        # spark.executor.cores=2 on a 1-core worker starves forever)
+        self.executor_cores = max(1, executor_cores)
         self.master_url = f"spark://127.0.0.1:{port}"
         self._procs: list[subprocess.Popen] = []
 
@@ -122,23 +127,27 @@ class MiniCluster:
         ))
         _wait_for(mlog, "I have been elected leader")
         cpus = _expand_cpus(self.worker_cpus)
-        if self.per_cpu_workers and len(cpus) > 1:
-            # one 1-core worker per CPU: executors own their CPU outright
-            per_cores = max(1, self.cores // len(cpus))
-            per_mem = max(4, self.memory_gb // len(cpus))
+        ec = self.executor_cores
+        if self.per_cpu_workers and len(cpus) > ec and len(cpus) % ec == 0:
+            # one worker per executor-sized CPU group, pinned to exactly its
+            # group: each executor JVM (and its python UDF workers) owns its
+            # CPUs outright, like executors on separate cluster nodes
+            groups = [cpus[i:i + ec] for i in range(0, len(cpus), ec)]
+            per_mem = max(4, self.memory_gb // len(groups))
             wlogs = []
-            for i, cpu in enumerate(cpus):
+            for i, grp in enumerate(groups):
                 wl = os.path.join(self.work_dir, f"worker{i}.log")
                 wlogs.append(wl)
                 wcmd = ["java", "-cp", cp, "-Xmx1g",
                         "org.apache.spark.deploy.worker.Worker",
                         self.master_url,
-                        "--cores", str(per_cores),
+                        "--cores", str(ec),
                         "--memory", f"{per_mem}g", "--webui-port", "0",
                         "--work-dir",
                         os.path.join(self.work_dir, f"work{i}")]
                 if shutil.which("taskset"):
-                    wcmd = ["taskset", "-c", str(cpu)] + wcmd
+                    wcmd = ["taskset", "-c",
+                            ",".join(str(c) for c in grp)] + wcmd
                 wenv = {**env, "SPARK_LOCAL_DIRS":
                         f"{env.get('SPARK_LOCAL_DIRS', self.work_dir)}/w{i}"}
                 os.makedirs(wenv["SPARK_LOCAL_DIRS"], exist_ok=True)

@@ -53,6 +53,8 @@ def parse_range_header(range_header: str, file_size: int) -> tuple[int, int]:
     bounds raises."""
     try:
         h = range_header.replace("bytes=", "").split("-")
+        if len(h) != 2:
+            raise RangeNotSatisfiable(range_header)
         start = int(h[0]) if h[0] != "" else 0
         end = int(h[1]) if h[1] != "" else file_size - 1
     except ValueError:
@@ -69,7 +71,10 @@ def iter_byte_range(
     with file_obj as f:
         f.seek(start)
         while f.tell() <= end:
-            yield f.read(min(chunk_size, end + 1 - f.tell()))
+            chunk = f.read(min(chunk_size, end + 1 - f.tell()))
+            if not chunk:  # truncated file: EOF before `end`, stop streaming
+                return
+            yield chunk
 
 
 @dataclass(frozen=True)
@@ -105,7 +110,10 @@ def spark_search_fn(index, hydrate: bool = True) -> SearchFn:
                     start=start, end=end)
         if hydrate:
             hits = index.hydrate(hits)
-        return [r.asDict(recursive=True) for r in hits.collect()]
+        # hydrate() is a join; its output row order is a plan accident, so
+        # re-establish rank order before serializing the response
+        return [r.asDict(recursive=True)
+                for r in hits.orderBy("rank").collect()]
 
     return run
 
@@ -219,6 +227,11 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 self._json(403, {"message": message})
                 return
+        if end == 0:
+            # empty corpus: page() requires end > 0, and there is nothing
+            # to rank anyway — answer every query with an empty result
+            self._json(200, {"results": {q: [] for q in queries}})
+            return
         results = {q: self.search_fn(q, start, max(start, end))
                    for q in queries}
         self._json(200, {"results": results})

@@ -77,6 +77,31 @@ def test_console_repl_end_to_end(spark, cli_index_dir, tmp_path, monkeypatch, ca
     assert len(body) == 3  # header + topk 2
 
 
+def test_console_bad_topk_and_mode_reprompt(spark, cli_index_dir, monkeypatch,
+                                            capsys):
+    # a typo in --topk or --mode must re-prompt, not kill the session
+    lines = iter([
+        '--query nababa --topk three',
+        '--query nababa --mode sometimes',
+        '--query nababa --mode all --topk 1',
+    ])
+
+    def fake_input(prompt=""):
+        try:
+            return next(lines)
+        except StopIteration:
+            raise EOFError
+    monkeypatch.setattr("builtins.input", fake_input)
+    rc = main(["console", "--index-dir", cli_index_dir, "--no-cache"])
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "invalid --topk 'three'" in captured.err
+    assert "invalid --mode 'sometimes'" in captured.err
+    # the third (valid) line still ran; invalid lines re-prompt WITHOUT
+    # burning a cmd_id, so the first successful command is still id 0
+    assert any(ln.startswith("0,") for ln in captured.out.splitlines())
+
+
 def test_console_blocklist(spark, cli_index_dir, tmp_path, monkeypatch, capsys):
     bl = tmp_path / "bl.txt"
     bl.write_text("nababa\n")

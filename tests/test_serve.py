@@ -74,7 +74,9 @@ def test_parse_range_ok(hdr, size, expect):
 
 
 @pytest.mark.parametrize("hdr", ["bytes=5-2", "bytes=x-", "bytes=0-1000",
-                                 "bytes=abc-2"])
+                                 "bytes=abc-2",
+                                 # not exactly one dash -> 416, not a crash
+                                 "bytes=1-2-3", "bytes=", "bytes=100"])
 def test_parse_range_invalid(hdr):
     with pytest.raises(RangeNotSatisfiable):
         parse_range_header(hdr, 1000)
@@ -85,6 +87,15 @@ def test_iter_byte_range_chunks():
     out = list(iter_byte_range(io.BytesIO(PAYLOAD), 5, 10_004, chunk_size=4096))
     assert b"".join(out) == PAYLOAD[5:10_005]
     assert [len(c) for c in out] == [4096, 4096, 1808]
+
+
+def test_iter_byte_range_truncated_file_stops_at_eof():
+    # file shorter than the requested range (truncated after stat):
+    # the iterator must terminate at EOF, not spin yielding b'' forever
+    import io
+    out = list(iter_byte_range(io.BytesIO(PAYLOAD[:100]), 0, 999,
+                               chunk_size=64))
+    assert b"".join(out) == PAYLOAD[:100]
 
 
 # -- /media ------------------------------------------------------------------

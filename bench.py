@@ -552,6 +552,7 @@ def _run_one_level(cores: int, n_docs: int, r: int, max_attempts: int = 2):
         except subprocess.TimeoutExpired:
             log(f"  scaling {cores}-core run{r} attempt{attempt} TIMED OUT "
                 f"after {budget:.0f}s (remaining budget {_remaining():.0f}s)")
+            _reap_dead_worker(cores)
             continue
         line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else ""
         if p.returncode == 0 and line:
@@ -577,7 +578,23 @@ def _run_one_level(cores: int, n_docs: int, r: int, max_attempts: int = 2):
             return builds
         log(f"  scaling {cores}-core run{r} attempt{attempt} FAILED "
             f"(rc={p.returncode}): {p.stderr[-400:]}")
+        if p.returncode != 0:
+            _reap_dead_worker(cores)
     return None
+
+
+def _reap_dead_worker(cores: int) -> None:
+    """A timed-out/killed scale worker leaves its detached mini-cluster JVMs
+    running (start_new_session=True survives the child's SIGKILL) — possibly
+    still executing the hung build on the worker CPUs — and its tmpfs
+    shuffle dir resident in RAM. Both contaminate every later measurement
+    (the DRAM probes then read neighbor pressure that is actually ours), so
+    reap them from the parent before the next attempt. Safe because levels
+    run strictly sequentially: no other mini-cluster is alive right now."""
+    from wise_spark.cluster import MiniCluster
+
+    MiniCluster.cleanup_stale()
+    shutil.rmtree(f"/dev/shm/wise_bench_local_{cores}", ignore_errors=True)
 
 
 def run_scaling(n_docs: int, cores_list: list[int]):
@@ -861,30 +878,17 @@ Protocol runs below the bar dated before 2026-08-18T12:00Z predate these
 fixes; the protocol-history table and BENCH_evidence.jsonl keep them for
 the record.
 
-DEFINITIVE RUN (2026-08-19T10:19Z, after two further harness/engine
-fixes — multi-build workers with positional pairing + per-executor
-warmup, and the driver pyarrow pool capped to its CPU affinity): the
-full protocol completed with EVERY pair gate-clean, zero topped up, no
-deadline pressure (1365s of a 3300s budget) — pairs
-**[0.836, 0.852, 0.857, 0.905], median 0.854**, best-run-vs-best-run
-0.883, worst steal 0.75%, all probes <= 1.2s. **The north-rule bar
-(>= 0.8) is met by every single pair of the full pre-registered
-protocol, not just the median.** Earlier post-fix runs agree: 13:04Z
-clean pairs [0.985]; 21:46Z clean pairs [0.673, 0.858] — the lone
-sub-bar 0.673 was a 4-executor tokens stage at 24.5s vs 12.5-13.2s in
-sibling clean runs with every gate green, i.e. the driver-pool churn
-defect that the 09:53Z affinity fix then removed (terms stage
-0.7-2.35s pathological -> 0.19-0.21s at both levels).
+{definitive_section()}
 
-Headline queries (sf0.1, local[32]; quiet-window run 2026-08-18T21:06Z,
-box steal 0.02%, probes 1.1-1.4s; full map in BENCH_partial.json): total
-wall 39.8s over 21 queries. This resolves VERDICT r3's two "unverified
-regressions" as host weather on r3's contended tail: ann_cosine_topk
-**1.15s** (r2 1.44s, r3-contended 9.57s) and dedup_simhash_pairs
-**3.46s** (r2 7.86s, r3-contended 12.75s — also genuinely faster than r2
-after the round-4 dedup relation-materialization refactor). The r2
-flagship regression stays fixed at the source: ft_bm25_topk_any
-**4.70s** (r2 18.2s; single-pass TokenizedCorpus).
+Headline queries (sf0.1, local[32]; full map of the most recent run in
+BENCH_partial.json). The quiet-window runs from 2026-08-18T21:06Z onward
+resolve VERDICT r3's two "unverified regressions" as host weather on
+r3's contended tail: ann_cosine_topk **0.92-1.15s** (r2 1.44s,
+r3-contended 9.57s) and dedup_simhash_pairs **2.99-3.55s** (r2 7.86s,
+r3-contended 12.75s — also genuinely faster than r2 after the round-4
+dedup relation-materialization refactor). The r2 flagship regression
+stays fixed at the source: ft_bm25_topk_any **3.83-4.70s** (r2 18.2s;
+single-pass TokenizedCorpus).
 
 The sections below are regenerated by every `bench.py` invocation and show
 the MOST RECENT run verbatim; consult the protocol-history table at the
@@ -1020,6 +1024,66 @@ clean-pair efficiencies bracket exactly that kernel-intrinsic bound.
 {history_section()}"""
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write(md)
+
+
+def definitive_section() -> str:
+    """The round's strongest evidence, selected from BENCH_evidence.jsonl at
+    render time — never hardcoded, so a later bench rerun cannot clobber the
+    summary with stale text. Qualifying runs: a full protocol (>= 4 pairs,
+    zero topped up, no deadline pressure) where EVERY pair passed every
+    contention gate."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_evidence.jsonl")
+    try:
+        with open(path) as f:
+            recs = [json.loads(ln) for ln in f if ln.strip()]
+    except OSError:
+        recs = []
+    rows = []
+    for rec in recs:
+        pc = rec.get("pairs_completed", 0)
+        clean = (rec.get("scaling_efficiency_clean") or {}).get("1_to_4") or {}
+        pairs_all = (rec.get("scaling_efficiency_pairs") or {}).get("1_to_4") or []
+        if (pc >= 4 and not rec.get("topped_up_pairs")
+                and not rec.get("deadline_hit")
+                and clean.get("median") is not None
+                and len(clean.get("pairs") or []) == len(pairs_all) == pc):
+            rows.append((rec.get("utc", "?"), rec.get("n_docs", 0),
+                         clean["pairs"], clean["median"]))
+    if not rows:
+        return ("DEFINITIVE RUNS: none on record yet — no full protocol has "
+                "completed with every pair gate-clean; see the protocol "
+                "history table for partial evidence.")
+    # the two final harness/engine fixes (multi-build workers + the driver
+    # pyarrow pool capped to its affinity) landed 2026-08-19T09:53Z; earlier
+    # runs stay in the table for the record but measure the pre-fix system
+    fixes_cutover = "2026-08-19T09:53:00Z"
+    post = [r for r in rows if r[0] >= fixes_cutover] or rows
+    worst = min(p for _, _, pairs, _ in post for p in pairs)
+    best_med = max(m for _, _, _, m in post)
+    table = "\n".join(
+        f"| {utc} | {nd:,} | {pairs} | **{med:.3f}** |"
+        + (" pre-fix |" if utc < fixes_cutover else " |")
+        for utc, nd, pairs, med in rows
+    )
+    bar_line = (
+        "**Every single pair of every post-fix protocol meets the "
+        f"north-rule bar (worst pair {worst:.3f} >= 0.8), not just the "
+        "medians.**"
+        if worst >= 0.8 else
+        f"Worst clean post-fix pair: {worst:.3f}; medians "
+        f"{', '.join(f'{m:.3f}' for _, _, _, m in post)}."
+    )
+    return (
+        "DEFINITIVE RUNS (auto-selected from BENCH_evidence.jsonl: full "
+        "protocols, >= 4 pairs, zero topped up, no deadline pressure, EVERY "
+        "pair gate-clean):\n\n"
+        "| utc | docs | clean pair efficiencies (1 -> 4 executors) "
+        "| median | fixes |\n"
+        "|---|---|---|---|---|\n"
+        f"{table}\n\n"
+        f"{bar_line} Best post-fix protocol median: **{best_med:.3f}**."
+    )
 
 
 def history_section() -> str:

@@ -100,51 +100,49 @@ def parse(cores: int, mark: float, build_s: float, stage_s: dict) -> None:
     # pass 1: stages; pass 2: task metrics (TaskEnd precedes StageCompleted)
     for e in events:
         ev = e.get("Event")
-        if True:
-                if ev == "SparkListenerStageCompleted":
-                    si = e["Stage Info"]
-                    sub = si.get("Submission Time", 0)
-                    if sub < mark_ms:
-                        continue
-                    stages[si["Stage ID"]] = {
-                        "name": si["Stage Name"].split("\n")[0][:60],
-                        "tasks": si["Number of Tasks"],
-                        "sub": sub,
-                        "done": si.get("Completion Time", 0),
-                        "run": 0, "cpu": 0, "gc": 0, "deser": 0,
-                        "rser": 0, "shw": 0, "fetch": 0, "n": 0,
-                        "input_mb": 0, "out_mb": 0,
-                        "first_launch": None, "last_finish": 0,
-                    }
+        if ev == "SparkListenerStageCompleted":
+            si = e["Stage Info"]
+            sub = si.get("Submission Time", 0)
+            if sub < mark_ms:
+                continue
+            stages[si["Stage ID"]] = {
+                "name": si["Stage Name"].split("\n")[0][:60],
+                "tasks": si["Number of Tasks"],
+                "sub": sub,
+                "done": si.get("Completion Time", 0),
+                "run": 0, "cpu": 0, "gc": 0, "deser": 0,
+                "rser": 0, "shw": 0, "fetch": 0, "n": 0,
+                "input_mb": 0, "out_mb": 0,
+                "first_launch": None, "last_finish": 0,
+            }
     for e in events:
         ev = e.get("Event")
-        if True:
-                if ev == "SparkListenerTaskEnd":
-                    sid = e["Stage ID"]
-                    if sid not in stages:
-                        continue
-                    st = stages[sid]
-                    ti = e.get("Task Info", {})
-                    tm = e.get("Task Metrics") or {}
-                    st["n"] += 1
-                    st["run"] += tm.get("Executor Run Time", 0)
-                    st["cpu"] += tm.get("Executor CPU Time", 0) / 1e6
-                    st["gc"] += tm.get("JVM GC Time", 0)
-                    st["deser"] += tm.get("Executor Deserialize Time", 0)
-                    st["rser"] += tm.get("Result Serialization Time", 0)
-                    swm = tm.get("Shuffle Write Metrics") or {}
-                    st["shw"] += swm.get("Shuffle Write Time", 0) / 1e6
-                    srm = tm.get("Shuffle Read Metrics") or {}
-                    st["fetch"] += srm.get("Fetch Wait Time", 0)
-                    im = tm.get("Input Metrics") or {}
-                    st["input_mb"] += im.get("Bytes Read", 0) / 1e6
-                    om = tm.get("Output Metrics") or {}
-                    st["out_mb"] += om.get("Bytes Written", 0) / 1e6
-                    lt = ti.get("Launch Time", 0)
-                    ft = ti.get("Finish Time", 0)
-                    if st["first_launch"] is None or lt < st["first_launch"]:
-                        st["first_launch"] = lt
-                    st["last_finish"] = max(st["last_finish"], ft)
+        if ev == "SparkListenerTaskEnd":
+            sid = e["Stage ID"]
+            if sid not in stages:
+                continue
+            st = stages[sid]
+            ti = e.get("Task Info", {})
+            tm = e.get("Task Metrics") or {}
+            st["n"] += 1
+            st["run"] += tm.get("Executor Run Time", 0)
+            st["cpu"] += tm.get("Executor CPU Time", 0) / 1e6
+            st["gc"] += tm.get("JVM GC Time", 0)
+            st["deser"] += tm.get("Executor Deserialize Time", 0)
+            st["rser"] += tm.get("Result Serialization Time", 0)
+            swm = tm.get("Shuffle Write Metrics") or {}
+            st["shw"] += swm.get("Shuffle Write Time", 0) / 1e6
+            srm = tm.get("Shuffle Read Metrics") or {}
+            st["fetch"] += srm.get("Fetch Wait Time", 0)
+            im = tm.get("Input Metrics") or {}
+            st["input_mb"] += im.get("Bytes Read", 0) / 1e6
+            om = tm.get("Output Metrics") or {}
+            st["out_mb"] += om.get("Bytes Written", 0) / 1e6
+            lt = ti.get("Launch Time", 0)
+            ft = ti.get("Finish Time", 0)
+            if st["first_launch"] is None or lt < st["first_launch"]:
+                st["first_launch"] = lt
+            st["last_finish"] = max(st["last_finish"], ft)
 
     # TaskEnd events for late-finishing stages can appear after
     # StageCompleted; the per-task sums above already include them.

@@ -68,13 +68,18 @@ def get(url: str, headers: dict | None = None, method: str = "GET"):
     ("bytes=100-", 1000, (100, 999)),
     ("bytes=-", 1000, (0, 999)),
     ("bytes=0-999", 1000, (0, 999)),
+    # RFC 7233 §2.1 suffix ranges: the LAST n bytes (intentional divergence
+    # from the reference, which serves bytes [0, n] for these)
+    ("bytes=-512", 1000, (488, 999)),
+    ("bytes=-1", 1000, (999, 999)),
+    ("bytes=-2000", 1000, (0, 999)),   # suffix longer than file -> whole file
 ])
 def test_parse_range_ok(hdr, size, expect):
     assert parse_range_header(hdr, size) == expect
 
 
 @pytest.mark.parametrize("hdr", ["bytes=5-2", "bytes=x-", "bytes=0-1000",
-                                 "bytes=abc-2",
+                                 "bytes=abc-2", "bytes=-0",
                                  # not exactly one dash -> 416, not a crash
                                  "bytes=1-2-3", "bytes=", "bytes=100"])
 def test_parse_range_invalid(hdr):
@@ -206,6 +211,40 @@ def test_search_blocklist_403(server):
 def test_unknown_route_404(server):
     status, _, _ = get(f"{server}/nope")
     assert status == 404
+
+
+def test_media_suffix_range_serves_tail(server):
+    # RFC 7233 suffix request: the LAST 512 bytes (trailer probe pattern)
+    status, headers, body = get(f"{server}/media/1", {"Range": "bytes=-512"})
+    assert status == 206
+    assert body == PAYLOAD[-512:]
+    size = len(PAYLOAD)
+    assert headers["content-range"] == f"bytes {size - 512}-{size - 1}/{size}"
+
+
+def test_head_sends_no_body_on_any_route_keepalive(server):
+    """HEAD responses (including /search and error routes) must carry no
+    body: on an HTTP/1.1 keep-alive connection stray body bytes desync the
+    client, which parses them as the start of the NEXT response. Drive two
+    requests down ONE persistent connection to prove the framing is clean."""
+    import http.client
+    host = server.split("//")[1]
+    for head_path in ("/search?q=hello&start=0&end=5",   # JSON route
+                      "/media/99",                        # 404 text route
+                      "/nope"):                           # unknown route
+        conn = http.client.HTTPConnection(host, timeout=10)
+        try:
+            conn.request("HEAD", head_path)
+            r1 = conn.getresponse()
+            assert r1.read() == b""
+            # the SAME socket must now serve a clean GET
+            conn.request("GET", "/search?q=hello&start=0&end=3")
+            r2 = conn.getresponse()
+            assert r2.status == 200
+            res = json.loads(r2.read())["results"]["hello"]
+            assert [r["rank"] for r in res] == [0, 1, 2]
+        finally:
+            conn.close()
 
 
 # -- Spark-backed integration (spark_search_fn + parquet_media_resolver) -----

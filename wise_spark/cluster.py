@@ -128,6 +128,17 @@ class MiniCluster:
         _wait_for(mlog, "I have been elected leader")
         cpus = _expand_cpus(self.worker_cpus)
         ec = self.executor_cores
+        if self.per_cpu_workers and len(cpus) > ec and len(cpus) % ec != 0:
+            # falling through to one floating worker over the whole mask is
+            # the exact shape the class docstring documents as inflating
+            # task-seconds 1.5x — never do it silently
+            import logging
+            logging.getLogger(__name__).warning(
+                "MiniCluster: %d worker CPUs (%s) is not a multiple of "
+                "executor_cores=%d; executors will FLOAT over the shared "
+                "mask instead of owning pinned CPU groups — scaling numbers "
+                "from this shape are not comparable to pinned runs",
+                len(cpus), self.worker_cpus, ec)
         if self.per_cpu_workers and len(cpus) > ec and len(cpus) % ec == 0:
             # one worker per executor-sized CPU group, pinned to exactly its
             # group: each executor JVM (and its python UDF workers) owns its

@@ -102,11 +102,15 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 
 def _plane_matrix(items: DataFrame, vec_col: str, n_planes: int,
-                  n_tables: int, seed: int) -> np.ndarray:
+                  n_tables: int, seed: int) -> np.ndarray | None:
     """(dim, n_tables*n_planes) hyperplane matrix: one matmul against it
     yields every table's sign bits. dim is read from the first row
-    (driver-side, once)."""
-    dim = int(items.select(F.size(vec_col).alias("d")).first()["d"])
+    (driver-side, once). Returns None on an EMPTY relation (no row to read
+    the dimension from) — callers short-circuit to an empty result."""
+    row = items.select(F.size(vec_col).alias("d")).first()
+    if row is None:
+        return None
+    dim = int(row["d"])
     return np.concatenate(
         [np.asarray(_hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)]
     ).T
@@ -164,6 +168,10 @@ def lsh_cosine_topk(
     candidates (see _sign_buckets for the signature plumbing). The candidate
     join is a broadcast equi-join on the bucket key, then exact rerank."""
     mat = _plane_matrix(items, vec_col, n_planes, n_tables, seed)
+    if mat is None:   # empty corpus: no neighbors for any query
+        id_type = items.schema[id_col].dataType.simpleString()
+        return items.sparkSession.createDataFrame(
+            [], f"query_id {id_type}, vec_id {id_type}, cosine double, rank int")
     qb = _sign_buckets(queries, id_col, vec_col, "query_id", mat, n_planes, n_tables)
     ib = _sign_buckets(items, id_col, vec_col, "vec_id", mat, n_planes, n_tables)
     cand = (
@@ -236,10 +244,19 @@ def cosine_neardup_pairs(
         cand = a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
     else:
         mat = _plane_matrix(items, vec_col, n_planes, n_tables, seed)
+        id_type = items.schema[id_col].dataType.simpleString()
+        if mat is None:   # empty corpus: no pairs
+            return items.sparkSession.createDataFrame(
+                [], f"vec_id_a {id_type}, vec_id_b {id_type}, cosine double")
+        # materialize the signatures ONCE and alias for both join sides:
+        # two independent _sign_buckets calls re-ran the full upstream plan
+        # (embedding production + the matmul) per side — the same
+        # per-consumer recompute dedup.py's LSH paths checkpoint away
         sa = _sign_buckets(items, id_col, vec_col, "vec_id_a", mat,
-                           n_planes, n_tables)
-        sb = _sign_buckets(items, id_col, vec_col, "vec_id_b", mat,
-                           n_planes, n_tables)
+                           n_planes, n_tables).localCheckpoint(eager=True)
+        sb = sa.select(F.col("vec_id_a").alias("vec_id_b"),
+                       F.col("vec_id_a_vec").alias("vec_id_b_vec"),
+                       "bucket")
         cand = (
             sa.join(sb, "bucket")
             .where(F.col("vec_id_a") < F.col("vec_id_b"))

@@ -47,16 +47,27 @@ class RangeNotSatisfiable(Exception):
 
 
 def parse_range_header(range_header: str, file_size: int) -> tuple[int, int]:
-    """RFC 7233 single-range parse, inclusive bounds — exact parity with the
-    reference's _get_range_header (routes.py:78-94): empty start means 0,
-    empty end means file_size-1, anything non-numeric / start>end / out of
-    bounds raises."""
+    """RFC 7233 single-range parse, inclusive bounds (parse shape per the
+    reference's _get_range_header, routes.py:78-94): empty end means
+    file_size-1, anything non-numeric / start>end / out of bounds raises.
+
+    INTENTIONAL divergence from the reference: 'bytes=-N' is an RFC 7233
+    §2.1 suffix range (the LAST N bytes) — the reference serves it as bytes
+    [0, N], which corrupts players that probe a container's trailer (e.g.
+    the mp4 moov atom) with a suffix request. 'bytes=-' (both empty) keeps
+    the reference's whole-file reading."""
     try:
         h = range_header.replace("bytes=", "").split("-")
         if len(h) != 2:
             raise RangeNotSatisfiable(range_header)
-        start = int(h[0]) if h[0] != "" else 0
-        end = int(h[1]) if h[1] != "" else file_size - 1
+        if h[0] == "" and h[1] != "":
+            n = int(h[1])          # suffix form: last n bytes
+            if n <= 0:
+                raise RangeNotSatisfiable(range_header)
+            start, end = max(0, file_size - n), file_size - 1
+        else:
+            start = int(h[0]) if h[0] != "" else 0
+            end = int(h[1]) if h[1] != "" else file_size - 1
     except ValueError:
         raise RangeNotSatisfiable(range_header) from None
     if start > end or start < 0 or end > file_size - 1:
@@ -157,19 +168,28 @@ class _Handler(BaseHTTPRequestHandler):
               extra: dict[str, str] | None = None, head_only: bool = False,
               body_iter: Iterator[bytes] | None = None,
               content_length: int | None = None) -> None:
+        declared = content_length if content_length is not None else len(body)
         self.send_response(code)
         self.send_header("content-type", content_type)
-        self.send_header(
-            "content-length",
-            str(content_length if content_length is not None else len(body)))
+        self.send_header("content-length", str(declared))
         for k, v in (extra or {}).items():
             self.send_header(k, v)
         self.end_headers()
-        if head_only:
+        # a HEAD response must never carry a body, whichever route produced
+        # it — on HTTP/1.1 keep-alive an unexpected body desyncs the client,
+        # which parses those bytes as the start of the NEXT response
+        if head_only or self.command == "HEAD":
             return
         if body_iter is not None:
+            sent = 0
             for chunk in body_iter:
                 self.wfile.write(chunk)
+                sent += len(chunk)
+            if sent != declared:
+                # file truncated between stat and stream: we under-delivered
+                # vs the declared content-length, so this connection cannot
+                # be reused — close it instead of leaving the client waiting
+                self.close_connection = True
         else:
             self.wfile.write(body)
 

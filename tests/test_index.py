@@ -142,6 +142,31 @@ def test_resume_skips_completed_and_is_identical(spark, corpus_sdf, tmp_path, in
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_resume_rebuilds_on_param_change(spark, corpus_sdf, tmp_path):
+    """Resuming over a checkpoint built with DIFFERENT params must rebuild,
+    not skip: a complete positions-free index resumed with
+    with_positions=True used to skip every stage yet rewrite meta.json
+    claiming positions — phrase queries then crashed on the null column."""
+    d = str(tmp_path / "idx_params")
+    build_index(corpus_sdf, d, url_col="url", n_shards=4, n_buckets=4,
+                n_waves=1, with_positions=False)
+    # same dir, positions now requested, resume on (the default)
+    meta = build_index(corpus_sdf, d, url_col="url", n_shards=4, n_buckets=4,
+                       n_waves=1, with_positions=True, resume=True)
+    idx = FtsIndex(spark, d, meta)
+    # the rebuilt index actually carries positions: phrase search works and
+    # agrees with a fresh positional build
+    d2 = str(tmp_path / "idx_fresh_pos")
+    meta2 = build_index(corpus_sdf, d2, url_col="url", n_shards=4,
+                        n_buckets=4, n_waves=1, with_positions=True)
+    idx2 = FtsIndex(spark, d2, meta2)
+    q = "nababa pebaba"
+    a = idx.phrase_topk(q, k=10).toPandas()
+    b = idx2.phrase_topk(q, k=10).toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    np.testing.assert_allclose(a["score"], b["score"], atol=0)
+
+
 def test_hydrate_joins_back_urls(index):
     res = index.topk(QUERIES[0], k=5, mode="any")
     hyd = index.hydrate(res).toPandas()

@@ -54,3 +54,34 @@ def test_stream_builds_versions_rank_identical(spark, staged_input, tmp_path, co
         n_shards=8, n_buckets=8, max_files_per_trigger=1,
     )
     assert os.path.basename(current_index_dir(root)) == "v000002"
+
+
+def test_stream_checkpoint_reset_rebuilds_not_replays(
+    spark, staged_input, tmp_path,
+):
+    """A NEW stream incarnation over an old index_root (checkpoint lost or
+    deleted) must rebuild its versions from the data it reads — the old
+    replay guard saw v000000/meta.json from the previous incarnation and
+    silently re-published stale data while dropping the new batch."""
+    import shutil
+
+    root = str(tmp_path / "stream_idx_reset")
+    stream_build_index(
+        spark, staged_input, root, SCHEMA, url_col="url",
+        n_shards=8, n_buckets=8, max_files_per_trigger=1,
+    )
+    old_run = open(os.path.join(root, "v000002", "stream_run_id")).read()
+    shutil.rmtree(os.path.join(root, "_stream_checkpoint"))
+
+    stream_build_index(
+        spark, staged_input, root, SCHEMA, url_col="url",
+        n_shards=8, n_buckets=8, max_files_per_trigger=1,
+    )
+    cur = current_index_dir(root)
+    assert os.path.basename(cur) == "v000002"
+    # every version was REBUILT under the new incarnation's run id
+    for v in ("v000000", "v000001", "v000002"):
+        new_run = open(os.path.join(root, v, "stream_run_id")).read()
+        assert new_run != old_run, f"{v} replay-published stale data"
+    # and the rebuilt index still covers the full corpus
+    assert FtsIndex.load(spark, cur).meta.n_docs == 300

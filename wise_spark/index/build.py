@@ -382,16 +382,8 @@ def _pack_partition_fn(n_buckets: int, with_positions: bool = False,
         sup_starts, sup_ends = _group_bounds(sb_s)       # one row per (shard,bucket)
         if with_positions:
             pos_all = np.frombuffer(b"".join(pdf["positions"]), dtype=np.int32)
-            tf64 = tf_flat.astype(np.int64)
-            src_off = np.cumsum(tf64) - tf64
-            ord_tf = tf64[order]
-            cum_tf = np.cumsum(ord_tf)
-            dst_base = cum_tf - ord_tf
-            within = (
-                np.arange(int(tf64.sum()), dtype=np.int64)
-                - np.repeat(dst_base, ord_tf)
-            )
-            pos_sorted = pos_all[np.repeat(src_off[order], ord_tf) + within]
+            pos_sorted = _permute_positions(tf_flat, pos_all, order)
+            cum_tf = np.cumsum(tf_flat.astype(np.int64)[order])
             pos_bnd = np.r_[0, cum_tf] * 4  # byte offset before each sorted row
             pb = pos_sorted.tobytes()
         # map each super group to its sub-run range (both contiguous, aligned)
@@ -520,11 +512,16 @@ def _merge_partition_fn(avgdl: float, with_positions: bool = False):
         # access is the resource 8 concurrent workers contend for. Falls
         # back to lexsort when the composite would overflow int64 (huge
         # doc_ids x many groups).
-        span = np.int64(int(ids_flat.max()) + 1) if ids_flat.size else np.int64(1)
-        n_groups_bound = np.int64(uniques.size) * S
-        if ids_flat.size and int(ids_flat.min()) >= 0 and (
-            int(n_groups_bound) < (2**63) // int(span)
+        # span stays a PYTHON int until the fast path is chosen: a doc_id of
+        # INT64_MAX makes max+1 == 2**63, which np.int64() refuses with
+        # OverflowError — exactly the huge-id case the lexsort fallback is
+        # for, so the guard must run before any np.int64 conversion
+        span_i = int(ids_flat.max()) + 1 if ids_flat.size else 1
+        n_groups_bound = int(uniques.size) * int(S)
+        if ids_flat.size and int(ids_flat.min()) >= 0 and span_i < 2**63 and (
+            n_groups_bound < (2**63) // span_i
         ):
+            span = np.int64(span_i)
             key = gkey_post * span + ids_flat
             order = np.argsort(key)
             key_s = key[order]
@@ -542,8 +539,11 @@ def _merge_partition_fn(avgdl: float, with_positions: bool = False):
         rec_s = rec[order]
         tfs = rec_s["tf"]
         dls = rec_s["dl"]
+        # positions-only gather: ids/tfs/dls are already reordered above (key
+        # arithmetic + the packed rec gather) — a full _permute here would
+        # redo three O(n) random gathers just to discard them
         pos = (
-            _permute(ids_flat, tfs_flat, dls_flat, pos_flat, order)[3]
+            _permute_positions(tfs_flat, pos_flat, order)
             if with_positions else None
         )
         starts, ends = _group_bounds(gkey_s)
@@ -658,20 +658,24 @@ def _write_terms_driver_side(segments_path: str, terms_path: str,
         )
 
 
+def _permute_positions(tfs, pos, order):
+    """Reorder position BLOCKS (variable length, tf each) by `order` via a
+    vectorized block gather. Offset arithmetic is int64 regardless of the
+    payload dtype (an int32 cumsum would wrap past 2^31 total positions per
+    task)."""
+    tf64 = tfs.astype(np.int64)
+    src_off = np.cumsum(tf64) - tf64
+    ord_tfs = tf64[order]
+    dst_base = np.cumsum(ord_tfs) - ord_tfs
+    within = np.arange(int(tf64.sum()), dtype=np.int64) - np.repeat(dst_base, ord_tfs)
+    gather = np.repeat(src_off[order], ord_tfs) + within
+    return pos[gather]
+
+
 def _permute(ids, tfs, dls, pos, order):
-    """Reorder postings by `order`; position BLOCKS (variable length, tf each)
-    move with their posting via a vectorized block gather. Offset arithmetic
-    is int64 regardless of the payload dtype (an int32 cumsum would wrap
-    past 2^31 total positions per task)."""
-    new_pos = None
-    if pos is not None:
-        tf64 = tfs.astype(np.int64)
-        src_off = np.cumsum(tf64) - tf64
-        ord_tfs = tf64[order]
-        dst_base = np.cumsum(ord_tfs) - ord_tfs
-        within = np.arange(int(tf64.sum()), dtype=np.int64) - np.repeat(dst_base, ord_tfs)
-        gather = np.repeat(src_off[order], ord_tfs) + within
-        new_pos = pos[gather]
+    """Reorder postings by `order`; position blocks move with their posting
+    (see _permute_positions)."""
+    new_pos = _permute_positions(tfs, pos, order) if pos is not None else None
     return ids[order], tfs[order], dls[order], new_pos
 
 
@@ -697,44 +701,8 @@ def build_index(
     segments_path = os.path.join(index_dir, "segments")
     terms_path = os.path.join(index_dir, "terms")
 
-    # checkpoint-layout guard: a partial build from an older code version
-    # must rebuild, not resume across an incompatible on-disk layout
-    import shutil as _shutil
-
-    layout_path = os.path.join(index_dir, "layout.json")
-    found_ver = None
-    if os.path.exists(layout_path):
-        with open(layout_path) as f:
-            found_ver = json.load(f).get("layout")
-    if found_ver != LAYOUT_VERSION:
-        stale = [
-            p for p in (tokens_path, doc_map_path, segments_path, terms_path,
-                        os.path.join(index_dir, "lineage"))
-            if os.path.exists(p)
-        ]
-        if stale:
-            # destructive: never wipe silently — the user may be pointing at
-            # a complete, working index from an older code version
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "build_index: on-disk layout %r at %s does not match current "
-                "layout %r — removing stale index pieces %s and rebuilding "
-                "from scratch",
-                found_ver, index_dir, LAYOUT_VERSION,
-                [os.path.basename(p) for p in stale],
-            )
-        for p in stale:
-            _shutil.rmtree(p, ignore_errors=True)
-        # write the marker only AFTER the cleanup succeeded, so a crash
-        # mid-wipe re-enters this branch instead of resuming over debris
-        with open(layout_path, "w") as f:
-            json.dump({"layout": LAYOUT_VERSION}, f)
-
-    # ---- Stage A: tokenize ONCE -> flat tf rows, partitioned by wave --------
-    # No shuffle: the flat mapInPandas kernel emits final rows and each map
-    # task writes its own per-wave files (n_waves files per task). Wave
-    # pruning in Stage C replaces the old per-shard partition pruning.
+    # resolve auto-sized params BEFORE the checkpoint guard so the guard can
+    # compare the actual data shape a resume would inherit
     par = spark.sparkContext.defaultParallelism
     if n_shards is None or n_waves is None:
         n_docs_hint = docs.count()
@@ -747,6 +715,55 @@ def build_index(
             # docs this yields the capped 64 passes of ~1.5% of the corpus
             n_waves = max(1, min(64, int(n_docs_hint // 20_000_000) + 1))
     n_waves = min(n_waves, n_shards)
+
+    # checkpoint guard: a partial build from an older code version OR from
+    # different build parameters must rebuild, not resume — resuming across
+    # an incompatible on-disk shape mis-reads the checkpoint (e.g. a tokens
+    # checkpoint without positions resumed with with_positions=True indexes
+    # an empty positions array in every Stage C task; a complete index
+    # resumed with new params would skip every stage yet rewrite meta.json
+    # claiming capabilities/shape the baked data lacks)
+    import shutil as _shutil
+
+    build_params = {"n_shards": n_shards, "n_buckets": n_buckets,
+                    "n_waves": n_waves,
+                    "with_positions": bool(with_positions)}
+    layout_path = os.path.join(index_dir, "layout.json")
+    found_ver, found_params = None, None
+    if os.path.exists(layout_path):
+        with open(layout_path) as f:
+            _marker = json.load(f)
+        found_ver = _marker.get("layout")
+        found_params = _marker.get("params")
+    if found_ver != LAYOUT_VERSION or found_params != build_params:
+        stale = [
+            p for p in (tokens_path, doc_map_path, segments_path, terms_path,
+                        os.path.join(index_dir, "lineage"))
+            if os.path.exists(p)
+        ]
+        if stale:
+            # destructive: never wipe silently — the user may be pointing at
+            # a complete, working index from an older code version
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "build_index: on-disk layout %r / params %r at %s do not "
+                "match current layout %r / params %r — removing stale index "
+                "pieces %s and rebuilding from scratch",
+                found_ver, found_params, index_dir, LAYOUT_VERSION,
+                build_params, [os.path.basename(p) for p in stale],
+            )
+        for p in stale:
+            _shutil.rmtree(p, ignore_errors=True)
+        # write the marker only AFTER the cleanup succeeded, so a crash
+        # mid-wipe re-enters this branch instead of resuming over debris
+        with open(layout_path, "w") as f:
+            json.dump({"layout": LAYOUT_VERSION, "params": build_params}, f)
+
+    # ---- Stage A: tokenize ONCE -> flat tf rows, partitioned by wave --------
+    # No shuffle: the flat mapInPandas kernel emits final rows and each map
+    # task writes its own per-wave files (n_waves files per task). Wave
+    # pruning in Stage C replaces the old per-shard partition pruning.
     if not (resume and _done(tokens_path)):
         t0 = time.time()
         sel = [F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")]
@@ -870,17 +887,29 @@ def build_index(
 
     # ---- Stage C: two-phase posting build, per wave --------------------------
     done_units = _completed_units(spark, index_dir, "segments") if resume else set()
-    waves = [list(range(w, n_shards, n_waves)) for w in range(n_waves)]
     tf_all = spark.read.parquet(tokens_path)
     os.makedirs(segments_path, exist_ok=True)
     import shutil as _shutil
 
-    def _run_wave(w: int, shard_list: list[int]) -> None:
+    # opt-in 2-way wave concurrency (boolean knob: "1"/"true"/"on" = two
+    # waves in flight, anything else = sequential, the measured-faster
+    # default on this box)
+    _conc = os.environ.get(
+        "WISE_WAVE_CONCURRENCY", "0").lower() in ("1", "true", "on")
+
+    def _run_wave(w: int) -> None:
         unit = f"wave-{w}"
         t0 = time.time()
+        # concurrent waves get a CLONED session (shared SparkContext, own
+        # SQLConf): the per-wave maxPartitionBytes set/restore below would
+        # otherwise race on the shared session conf — thread B reading
+        # thread A's wave-specific value as the "old" conf to restore, and
+        # planning its scan with A's split target
+        sess = spark.newSession() if _conc else spark
         # wave-dir partition pruning; bucket is computed inside the pack
         # kernel (one hash per distinct term per chunk)
-        tf = tf_all.filter(F.col("wave") == w).drop("url")
+        src = sess.read.parquet(tokens_path) if _conc else tf_all
+        tf = src.filter(F.col("wave") == w).drop("url")
         # two-phase build with ONE exchange: phase 1 packs chunk-local fat
         # partial rows map-side directly on the pruned scan (no repartition —
         # no reducer ever receives raw per-posting rows); phase 2 k-way
@@ -933,15 +962,15 @@ def build_index(
         n_pack = -(-max(max(1, par), -(-wave_bytes // pack_cap))
                    // max(1, par)) * max(1, par)
         pack_target = max(4 << 20, -(-wave_bytes // n_pack) + (1 << 20))
-        old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(pack_target))
+        old_mpb = sess.conf.get("spark.sql.files.maxPartitionBytes", None)
+        sess.conf.set("spark.sql.files.maxPartitionBytes", str(pack_target))
         try:
             segs.write.mode("overwrite").parquet(stage_dir)
         finally:
             if old_mpb is None:
-                spark.conf.unset("spark.sql.files.maxPartitionBytes")
+                sess.conf.unset("spark.sql.files.maxPartitionBytes")
             else:
-                spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+                sess.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
         t_write = time.time() - t_write0
         t_pub0 = time.time()
         dst = os.path.join(segments_path, f"wave={w}")
@@ -961,16 +990,14 @@ def build_index(
               int((time.time() - t0) * 1000))],
         )
 
-    pending = [
-        (w, sl) for w, sl in enumerate(waves) if f"wave-{w}" not in done_units
-    ]
+    pending = [w for w in range(n_waves) if f"wave-{w}" not in done_units]
     if fail_after_waves is not None:
         # deterministic order for the crash-injection test hook
-        for w, sl in pending:
+        for w in pending:
             if w >= fail_after_waves:
                 raise RuntimeError(f"injected failure before wave-{w}")
-            _run_wave(w, sl)
-    elif len(pending) > 1 and os.environ.get("WISE_WAVE_CONCURRENCY") == "1":
+            _run_wave(w)
+    elif len(pending) > 1 and _conc:
         # opt-in only: concurrent waves measured SLOWER than sequential on
         # every tested level (e.g. 128s vs 73s at 8 cores) — two jobs'
         # python workers double the resident working set and the py-worker
@@ -981,12 +1008,12 @@ def build_index(
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=2) as ex:
-            futs = [ex.submit(_run_wave, w, sl) for w, sl in pending]
+            futs = [ex.submit(_run_wave, w) for w in pending]
             for f in futs:
                 f.result()
     else:
-        for w, sl in pending:
-            _run_wave(w, sl)
+        for w in pending:
+            _run_wave(w)
 
     # ---- Stage D: exact term df table (range-partitioned, sorted) -----------
     if not (resume and _done(terms_path)):

@@ -360,11 +360,13 @@ class FtsIndex:
         a 10^12-row scan per query at target scale. The collected rows are
         re-created as a local relation and broadcast, which also avoids
         recomputing the scoring plan a second time inside the join. Results
-        larger than HYDRATE_ISIN_MAX rows (not a search-path shape) fall
-        back to the plain broadcast join over the full scan."""
+        larger than HYDRATE_ISIN_MAX rows (not a search-path shape, e.g. a
+        raw score_all relation) fall back to a plain shuffle join — NOT a
+        broadcast: an unbounded hit relation can be corpus-sized, and
+        forcing it through a broadcast would collect it to the driver."""
         rows = results.limit(self.HYDRATE_ISIN_MAX + 1).collect()
         if len(rows) > self.HYDRATE_ISIN_MAX:
-            return self.doc_map().join(F.broadcast(results), "doc_id", "inner")
+            return self.doc_map().join(results, "doc_id", "inner")
         local = self.spark.createDataFrame(rows, results.schema)
         ids = [r["doc_id"] for r in rows]
         pred = F.col("doc_id").isin(ids) if ids else F.lit(False)

@@ -60,7 +60,13 @@ def score_shard_taat(
     pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, n_terms: int, mode: str
 ) -> pd.DataFrame:
     """Exact exhaustive scoring of one shard (vectorized)."""
-    lists = _decode_terms(pdf, idfs, avgdl)
+    return _taat_over_lists(_decode_terms(pdf, idfs, avgdl), n_terms, mode)
+
+
+def _taat_over_lists(lists: list[dict], n_terms: int, mode: str) -> pd.DataFrame:
+    """Exact TAAT over already-decoded term lists (shared by the exhaustive
+    path and the WAND small-shard cutoff, which would otherwise varbyte-
+    decode every posting list a second time)."""
     if not lists:
         return pd.DataFrame({"doc_id": [], "score": []})
     all_ids = np.concatenate([x["ids"] for x in lists])
@@ -108,7 +114,7 @@ def score_shard_wand(
     else:
         total = sum(x["ids"].size for x in lists)
         if total <= TAAT_CUTOFF or len(lists) == 1:
-            out = score_shard_taat(pdf, idfs, avgdl, n_terms, mode)
+            out = _taat_over_lists(lists, n_terms, mode)
         else:
             out = _bmw_any(lists, k)
     # local top-k with the global tie-break order

@@ -20,6 +20,7 @@ this composes with the build's per-wave lineage.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -30,6 +31,34 @@ def current_index_dir(index_root: str) -> str | None:
         return None
     with open(cur) as f:
         return os.path.join(index_root, f.read().strip())
+
+
+def _stream_run_id(checkpoint_dir: str) -> str:
+    """One id per stream-checkpoint lifetime, stored INSIDE the checkpoint
+    dir so it lives and dies with the offsets: batch ids restart at 0 when
+    the checkpoint is lost or a new stream is pointed at an old index_root,
+    and without this id the replay guard would mistake a stale v000000 from
+    the previous incarnation for 'this batch already built' — silently
+    dropping the new data and re-publishing the old version as CURRENT."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.join(checkpoint_dir, "wise_run_id")
+    if os.path.exists(path):
+        with open(path) as f:
+            return f.read().strip()
+    run_id = uuid.uuid4().hex
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(run_id)
+    os.replace(tmp, path)
+    return run_id
+
+
+def _version_run_id(version_dir: str) -> str | None:
+    path = os.path.join(version_dir, "stream_run_id")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return f.read().strip()
 
 
 def _set_current(index_root: str, version: str) -> None:
@@ -57,23 +86,44 @@ def stream_build_index(
     """Run the incremental build stream. With available_now=True this
     processes the current backlog and stops (batch-incremental snapshots);
     without it the stream keeps absorbing new files."""
+    import logging
+    import shutil
+
     from ..index import build_index
     from ..index.merge import extend_index
 
     os.makedirs(index_root, exist_ok=True)
+    checkpoint_dir = os.path.join(index_root, "_stream_checkpoint")
+    run_id = _stream_run_id(checkpoint_dir)
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         # version derived from batch_id, NOT from CURRENT: foreachBatch may
         # replay a batch after a crash between _set_current and the streaming
-        # checkpoint commit — replay must be a no-op, never a double-extend
+        # checkpoint commit — replay must be a no-op, never a double-extend.
+        # The replay guard also checks the RUN id: a version dir built by a
+        # previous stream incarnation (checkpoint lost -> batch ids restart
+        # at 0) is stale data, not a replay — it is wiped and rebuilt.
         version = f"v{batch_id:06d}"
         out = os.path.join(index_root, version)
         if os.path.exists(os.path.join(out, "meta.json")):
-            _set_current(index_root, version)  # replayed batch: already built
-            return
+            if _version_run_id(out) == run_id:
+                _set_current(index_root, version)  # replayed batch: built
+                return
+            logging.getLogger(__name__).warning(
+                "stream_build_index: %s was built by a different stream "
+                "incarnation (checkpoint reset?) — rebuilding it from this "
+                "stream's batch %d instead of replay-publishing stale data",
+                out, batch_id,
+            )
+            shutil.rmtree(out, ignore_errors=True)
         cur = current_index_dir(index_root)
+        # never extend from a version another incarnation built: its content
+        # does not correspond to this stream's file offsets, so extending
+        # would double-index every file the new stream re-reads
+        if cur is not None and _version_run_id(cur) != run_id:
+            cur = None
         if cur is None:
             build_index(
                 batch, out, id_col=id_col, text_col=text_col, url_col=url_col,
@@ -85,6 +135,8 @@ def stream_build_index(
                 spark, cur, batch, out,
                 id_col=id_col, text_col=text_col, url_col=url_col,
             )
+        with open(os.path.join(out, "stream_run_id"), "w") as f:
+            f.write(run_id)
         _set_current(index_root, version)
 
     reader = (
@@ -94,7 +146,7 @@ def stream_build_index(
     )
     writer = (
         reader.writeStream.foreachBatch(handle_batch)
-        .option("checkpointLocation", os.path.join(index_root, "_stream_checkpoint"))
+        .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
         q = writer.trigger(availableNow=True).start()

@@ -261,6 +261,44 @@ def test_best_per_group_and_ordered_lookup(spark):
     assert best[1] == 11 and best[2] == 20  # tie -> smaller id
     out = ordered_lookup([12, 10, 20], df, "id").toPandas()
     assert out["id"].tolist() == [12, 10, 20]
+    # missing id -> NULL-filled row in rank position (lenient default);
+    # strict -> KeyError
+    out2 = ordered_lookup([12, 999], df, "id").toPandas()
+    assert out2["id"].tolist() == [12, 999]
+    assert out2["v"].isna().tolist() == [False, True]
+    import pytest as _pytest
+    with _pytest.raises(KeyError, match="999"):
+        ordered_lookup([12, 999], df, "id", strict=True).collect()
+    # plan shape: pushed isin filter + broadcast join of the matched rows —
+    # never a SortMergeJoin shuffling the big table for a 3-row lookup
+    plan = ordered_lookup([12, 10, 20], df, "id")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ordered_lookup_empty_ids(spark):
+    from wise_spark.pipeline.relational import ordered_lookup
+
+    df = spark.createDataFrame([(1, 0.5)], "id long, v double")
+    assert ordered_lookup([], df, "id").count() == 0
+
+
+def test_ingest_null_lang_is_quarantined(spark):
+    from wise_spark.sources.ingest import ingest_html, quarantine_counts
+
+    rows = [
+        (0, "u0", b"<p>keep me</p>", "2024-01-01", "en"),
+        (1, "u1", b"<p>wrong lang</p>", "2024-01-01", "fr"),
+        (2, "u2", b"<p>null lang</p>", "2024-01-01", None),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, url string, html binary, warc_ts string, lang string"
+    )
+    res = ingest_html(corpus, allowed_langs=["en"])
+    assert [r["doc_id"] for r in res.docs.select("doc_id").collect()] == [0]
+    counts = quarantine_counts(res)
+    assert counts.get("lang_filtered") == 2  # fr AND the NULL-lang row
 
 
 def test_multimodal_plumbing(spark, small_docs):
@@ -452,3 +490,48 @@ def test_dedup_plans_materialize_base_relation_once(spark, small_docs):
         # the ORIGINAL table must not be re-scanned per consumer at all
         assert plan.count("Scan ExistingRDD") <= 4, plan
         assert plan.count("LocalTableScan") == 0, plan
+
+
+def test_similarity_string_ids_and_empty_ivf(spark):
+    """topk entry points keep the id column's incoming type (string ids
+    crashed on a hardcoded long schema); IVF with default centroids returns
+    empty on an empty corpus instead of an AxisError."""
+    from wise_spark.pipeline.similarity import cosine_topk, ivf_cosine_topk
+
+    items = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [("qx", [1.0, 0.0])], "vec_id string, embedding array<float>"
+    )
+    out = cosine_topk(items, q, k=2).toPandas()
+    assert out["vec_id"].tolist() == ["a", "b"]
+    assert out["query_id"].dtype == object
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    ql = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    assert ivf_cosine_topk(empty, ql, k=3).count() == 0
+
+
+def test_multimodal_null_payloads(spark):
+    from wise_spark.pipeline.multimodal import binary_metadata, fake_feature_extract
+
+    blobs = spark.createDataFrame(
+        [(0, b"data"), (1, None)], "doc_id long, payload binary"
+    )
+    meta = binary_metadata(blobs).toPandas().set_index("doc_id")
+    assert meta.loc[1, "byte_size"] == 0 and meta.loc[1, "checksum"] is None
+    assert meta.loc[0, "byte_size"] == 4
+    feats = fake_feature_extract(blobs).toPandas().set_index("doc_id")
+    assert feats.loc[1, "feature"] is None and feats.loc[0, "feature"] is not None
+
+
+def test_execute_rejects_file_queries(spark):
+    import pytest as _pytest
+
+    from wise_spark.query.parser import QueryParseError, execute, parse_query
+
+    parsed = parse_query("@queries.csv in text", ["text"])
+    with _pytest.raises(QueryParseError, match="query-file reference"):
+        execute(parsed, {"text": lambda q, m: None})

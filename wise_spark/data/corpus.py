@@ -105,7 +105,11 @@ def _doc_token_ids(doc_id: int, seed: int, v: _Vocab) -> np.ndarray:
     n = int(_MIN_TOKENS + (_h(seed, 1, np.array([d]))[0] % np.uint64(_MAX_TOKENS - _MIN_TOKENS)))
     pos = (np.uint64(doc_id) << np.uint64(20)) + np.arange(n, dtype=np.uint64)
     u = _uniform(seed, 2, pos)
-    return np.searchsorted(v.cdf, u, side="left").astype(np.int64)
+    # float rounding can leave cdf[-1] a few ulp below 1.0 (measured at
+    # vocab 1000/5000), and u can exceed it — clamp so searchsorted never
+    # returns vocab_size (a latent IndexError on v.words)
+    ids = np.searchsorted(v.cdf, u, side="left")
+    return np.minimum(ids, len(v.cdf) - 1).astype(np.int64)
 
 
 def doc_tokens(doc_id: int, seed: int = DEFAULT_SEED, vocab_size: int = DEFAULT_VOCAB) -> list[str]:

@@ -22,6 +22,7 @@ from .relational import (
     ordered_lookup,
     tolerance_merge,
     overlap_antijoin,
+    overlap_join,
 )
 
 __all__ = [
@@ -47,4 +48,5 @@ __all__ = [
     "ordered_lookup",
     "tolerance_merge",
     "overlap_antijoin",
+    "overlap_join",
 ]

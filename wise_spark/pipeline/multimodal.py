@@ -60,11 +60,18 @@ def binary_metadata(blobs: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            # NULL payloads (e.g. attach_binary over NULL text) become
+            # (0, NULL) rows instead of a TypeError inside the Arrow worker
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_size": payloads.map(len).astype("int64"),
-                    "checksum": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                    "byte_size": payloads.map(
+                        lambda b: len(b) if b is not None else 0
+                    ).astype("int64"),
+                    "checksum": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                        if b is not None else None
+                    ),
                 }
             )
 
@@ -233,7 +240,11 @@ def decode_image(blobs: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": pdf["doc_id"], "width": [], "height": [],
                    "channels": [], "pixels": []}
-            for b in pdf["payload"]:
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None:
+                    raise ValueError(
+                        f"decode_image: NULL payload for doc_id {doc_id} — "
+                        "filter or quarantine NULL blobs upstream")
                 a = _decode_image_bytes(b)
                 out["height"].append(a.shape[0])
                 out["width"].append(a.shape[1])
@@ -252,7 +263,11 @@ def decode_audio(blobs: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": pdf["doc_id"], "sample_rate": [],
                    "n_channels": [], "n_samples": [], "pcm": []}
-            for b in pdf["payload"]:
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None:
+                    raise ValueError(
+                        f"decode_audio: NULL payload for doc_id {doc_id} — "
+                        "filter or quarantine NULL blobs upstream")
                 rate, a = decode_wav_bytes(bytes(b))
                 out["sample_rate"].append(rate)
                 out["n_channels"].append(a.shape[1])
@@ -355,6 +370,9 @@ def fake_feature_extract(blobs: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in batches:
             feats = []
             for b in pdf["payload"]:
+                if b is None:   # NULL blob -> NULL feature, not a TypeError
+                    feats.append(None)
+                    continue
                 h = hashlib.md5(bytes(b)).digest()
                 rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
                 v = rng.standard_normal(dim).astype(np.float32)

@@ -212,15 +212,22 @@ def ordered_lookup(
     repository/__init__.py:60-64 — strict mode mirrors that contract; the
     lenient default keeps the operator lazy/plan-only).
 
-    The ranks side is tiny (one row per requested id) and is the broadcast
-    build side; the big table streams past it with no shuffle.
+    Plan shape: the id list is pushed into the table scan as an isin
+    predicate (parquet min/max row-group pruning — the big table is never
+    shuffled), the <=len(ids) matching rows get a broadcast hint, and the
+    tiny ranks relation LEFT-joins them so missing ids surface as NULL rows.
+    (A right-outer join with broadcast(ranks) reads the same but Spark
+    cannot broadcast the row-preserving side of an outer join — the hint
+    was silently dropped and the whole table went through a SortMergeJoin.)
     """
     spark = table.sparkSession
     ranks = spark.createDataFrame(
         [(int(i), r) for r, i in enumerate(ids_in_rank_order)], f"{id_col} long, rank int"
     )
-    probe = table.withColumn("_present", F.lit(1))
-    out = probe.join(F.broadcast(ranks), id_col, "right")
+    vals = [int(i) for i in ids_in_rank_order]
+    matched = table.filter(F.col(id_col).isin(vals) if vals else F.lit(False))
+    matched = matched.withColumn("_present", F.lit(1))
+    out = ranks.join(F.broadcast(matched), id_col, "left")
     if strict:
         missing = [r[id_col] for r in out.filter(F.col("_present").isNull()).collect()]
         if missing:

@@ -49,11 +49,17 @@ def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
         out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
         return out
 
+    # id columns keep their incoming type (string ids are as legitimate as
+    # longs — hardcoding long crashed every topk entry point on string ids)
+    id_type = scored.schema["vec_id"].dataType.simpleString()
+    qid_type = scored.schema["query_id"].dataType.simpleString()
     reduced = scored.mapInPandas(
-        local_topk, schema="query_id long, vec_id long, cosine double"
+        local_topk,
+        schema=f"query_id {qid_type}, vec_id {id_type}, cosine double",
     )
     return reduced.groupBy("query_id").applyInPandas(
-        final_topk, schema="query_id long, vec_id long, cosine double, rank int"
+        final_topk,
+        schema=f"query_id {qid_type}, vec_id {id_type}, cosine double, rank int",
     )
 
 
@@ -361,6 +367,12 @@ def ivf_cosine_topk(
     nothing ever materializes all-pairs.
     """
     if centroids is None:
+        if items.select(vec_col).first() is None:   # empty corpus: no lists
+            id_type = items.schema[id_col].dataType.simpleString()
+            return items.sparkSession.createDataFrame(
+                [],
+                f"query_id {id_type}, vec_id {id_type}, cosine double, rank int",
+            )
         centroids = train_ivf_centroids(items, n_lists, vec_col, seed=seed)
     C = np.asarray(centroids, dtype=np.float64)
     C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)

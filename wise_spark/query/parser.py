@@ -160,7 +160,6 @@ def execute(
     parsed: ParsedQuery,
     scorers: dict,
     mode: str = "any",
-    k: int | None = None,
     phrase_scorers: dict | None = None,
 ):
     """Execute a parsed query. scorers: {target: (query, mode) -> DataFrame
@@ -184,6 +183,14 @@ def execute(
     def score_one(s: SubQuery, idx: int, target: str | None = None):
         q = s.query_strs[idx]
         tgt = target or s.target
+        if s.query_types[idx] == "file":
+            # a '@file' part names a QUERY FILE, not query text — scoring it
+            # literally would silently BM25-search the filename's tokens.
+            # The CLI's --queries-from expands files into per-line queries
+            # before parsing; execute() scores text/phrase parts only.
+            raise QueryParseError(
+                f"'@{q}' is a query-file reference — expand it into its "
+                "queries before execute() (see CLI --queries-from)")
         if (
             s.query_types[idx] == "phrase"
             and phrase_scorers is not None

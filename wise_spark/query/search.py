@@ -134,8 +134,6 @@ def global_ranked(result: SearchResult, num_partitions: int | None = None) -> Da
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    fields = [f.name for f in result.schema.fields]
-
     def attach(batches):
         pos = None
         for pdf in batches:

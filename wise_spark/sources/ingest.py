@@ -53,8 +53,12 @@ def ingest_html(
 
     reject = F.when(F.col("text_extracted").isNull(), F.lit("invalid_utf8"))
     if lang_col is not None and allowed_langs is not None:
+        # explicit NULL arm: ~isin(NULL) is NULL (three-valued logic), which
+        # when() treats as false — an unfiltered NULL-lang doc would slip
+        # past the language filter into the index
         reject = reject.when(
-            ~F.col(lang_col).isin(allowed_langs), F.lit("lang_filtered")
+            F.col(lang_col).isNull() | ~F.col(lang_col).isin(allowed_langs),
+            F.lit("lang_filtered"),
         )
     extracted = extracted.withColumn("reject_reason", reject)
 

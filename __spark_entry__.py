@@ -42,7 +42,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _ship(spark: SparkSession) -> None:
     import sys
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    d = os.path.dirname(os.path.abspath(__file__))
+    if d not in sys.path:   # repeated calls must not grow sys.path
+        sys.path.insert(0, d)
     from wise_spark.deploy import ship_package
 
     ship_package(spark)
@@ -116,8 +118,24 @@ _Q2 = ["spark", "table"]
 def _get_index(spark: SparkSession, sf_dir: str):
     from wise_spark.index import FtsIndex, build_index
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), f"wise_idx_v3_{key}")
+    # cache key covers the DATA, not just the path: regenerated parquet at
+    # the same sf_dir must invalidate the cached index (a path-only key
+    # silently scored every ft_* entry against the stale corpus while the
+    # DuckDB oracle read the new one). Fingerprint = source file names +
+    # sizes + mtimes — cheap, no data read. Per-user dir so two users on
+    # one host don't fight over /tmp ownership.
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    parts = [os.path.abspath(sf_dir)]
+    if os.path.isdir(src):
+        for fn in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, fn))
+            parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+    uid = getattr(os, "getuid", lambda: 0)()
+    d = os.path.join(tempfile.gettempdir(), f"wise_idx_v3_{uid}_{key}")
     if not os.path.exists(os.path.join(d, "meta.json")):
         docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
         build_index(docs, d, url_col="source", n_shards=8, n_buckets=8,
@@ -547,7 +565,10 @@ def q_meta_csv_import(spark, sf_dir):
 
     from wise_spark.sources import import_metadata_csv
 
-    path = os.path.join(tempfile.gettempdir(), "wise_meta_import.csv")
+    # per-user filename: a fixed shared /tmp path breaks for the second
+    # user on the same host (PermissionError on another user's file)
+    uid = getattr(os, "getuid", lambda: 0)()
+    path = os.path.join(tempfile.gettempdir(), f"wise_meta_import_{uid}.csv")
     with open(path, "w", newline="") as f:
         w = _csv.writer(f)
         w.writerow(["metadata_id", "filename", "starttime", "stoptime", "tag"])
@@ -801,50 +822,13 @@ def q_rel_customers_without_orders(spark, sf_dir):
 _EVAL_QUERIES = [(0, "spark merge window"), (1, "spark table"), (2, "hash join merge")]
 
 
-def q_eval_map_bm25(spark, sf_dir):
-    """Retrieval eval harness (reference retrieval_eval.py:29-68): per-query
-    Average Precision of the BM25 any-mode top-50 ranking, judged against
-    exact all-terms-present relevance."""
-    from wise_spark.eval import average_precision
+def _eval_results_truth(corpus):
+    """Shared eval harness: (results, truth) relations for _EVAL_QUERIES —
+    BM25 any-mode top-50 ranking judged against exact all-terms-present
+    relevance. One definition so the mAP and nDCG entries cannot drift."""
     from wise_spark.query.naive import score_query
     from wise_spark.query.search import ranked
 
-    corpus = _ft_corpus(spark, sf_dir)
-    res_parts, truth_parts = [], []
-    for qid, q in _EVAL_QUERIES:
-        scored = score_query(corpus, q, "any").withColumn(
-            "score", F.round("score", 9)
-        )
-        r = ranked(scored, 50).select(
-            F.lit(qid).alias("query_id"), "doc_id", "rank"
-        )
-        res_parts.append(r)
-        t = score_query(corpus, q, "all").select(
-            F.lit(qid).alias("query_id"), "doc_id"
-        )
-        truth_parts.append(t)
-    results = res_parts[0]
-    for x in res_parts[1:]:
-        results = results.unionByName(x)
-    truth = truth_parts[0]
-    for x in truth_parts[1:]:
-        truth = truth.unionByName(x)
-    ap = average_precision(results, truth)
-    return ap.select(
-        "query_id", F.round("ap", 9).alias("ap"), "n_rel", "n_retrieved_rel"
-    ).orderBy("query_id")
-
-
-def q_eval_ndcg_bm25(spark, sf_dir):
-    """nDCG@10 of the BM25 any-mode top-50 ranking, judged against exact
-    all-terms-present relevance — same harness as eval_map_bm25, standard
-    binary-relevance Järvelin-Kekäläinen DCG with the ideal DCG computed
-    from the TOTAL relevant count (missing relevant items are penalized)."""
-    from wise_spark.eval import ndcg_at_k
-    from wise_spark.query.naive import score_query
-    from wise_spark.query.search import ranked
-
-    corpus = _ft_corpus(spark, sf_dir)
     res_parts, truth_parts = [], []
     for qid, q in _EVAL_QUERIES:
         scored = score_query(corpus, q, "any").withColumn(
@@ -862,6 +846,30 @@ def q_eval_ndcg_bm25(spark, sf_dir):
     truth = truth_parts[0]
     for x in truth_parts[1:]:
         truth = truth.unionByName(x)
+    return results, truth
+
+
+def q_eval_map_bm25(spark, sf_dir):
+    """Retrieval eval harness (reference retrieval_eval.py:29-68): per-query
+    Average Precision of the BM25 any-mode top-50 ranking, judged against
+    exact all-terms-present relevance."""
+    from wise_spark.eval import average_precision
+
+    results, truth = _eval_results_truth(_ft_corpus(spark, sf_dir))
+    ap = average_precision(results, truth)
+    return ap.select(
+        "query_id", F.round("ap", 9).alias("ap"), "n_rel", "n_retrieved_rel"
+    ).orderBy("query_id")
+
+
+def q_eval_ndcg_bm25(spark, sf_dir):
+    """nDCG@10 of the BM25 any-mode top-50 ranking, judged against exact
+    all-terms-present relevance — same harness as eval_map_bm25, standard
+    binary-relevance Järvelin-Kekäläinen DCG with the ideal DCG computed
+    from the TOTAL relevant count (missing relevant items are penalized)."""
+    from wise_spark.eval import ndcg_at_k
+
+    results, truth = _eval_results_truth(_ft_corpus(spark, sf_dir))
     return (
         ndcg_at_k(results, truth, 10)
         .select("query_id", F.round("ndcg", 9).alias("ndcg"))
@@ -1450,26 +1458,44 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
     _SW = "('the','a','of','and','to','in','is','it','that','for')"
+    # LEFT JOIN + zero-guard: Spark emits a row per DOCUMENT with NULL
+    # ratios for zero-token docs (x/0 is NULL in Spark SQL); an inner
+    # join/group over the token relation would silently drop those docs
     sqls["text_quality"] = f"""
 WITH base AS (SELECT doc_id, text, {_TOK_SQL} AS toks FROM documents),
-tok AS (SELECT doc_id, unnest(toks) AS term FROM base)
+tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+agg AS (
+  SELECT doc_id,
+         count(DISTINCT term) AS nd,
+         sum(length(term)) AS sl,
+         sum(CASE WHEN term IN {_SW} THEN 1 ELSE 0 END) AS sw
+  FROM tok GROUP BY doc_id
+)
 SELECT b.doc_id,
        CAST(length(b.text) AS INT) AS n_chars_obs,
        CAST(len(b.toks) AS INT) AS n_tokens,
-       round(CAST(count(DISTINCT t.term) AS DOUBLE) / len(b.toks), 6) AS type_token_ratio,
-       round(CAST(sum(length(t.term)) AS DOUBLE) / len(b.toks), 6) AS mean_token_len,
-       round(CAST(sum(CASE WHEN t.term IN {_SW} THEN 1 ELSE 0 END) AS DOUBLE) / len(b.toks), 6) AS stopword_ratio
-FROM base b JOIN tok t USING(doc_id)
-GROUP BY b.doc_id, b.text, b.toks
+       CASE WHEN len(b.toks) = 0 THEN NULL
+            ELSE round(CAST(a.nd AS DOUBLE) / len(b.toks), 6) END AS type_token_ratio,
+       CASE WHEN len(b.toks) = 0 THEN NULL
+            ELSE round(CAST(a.sl AS DOUBLE) / len(b.toks), 6) END AS mean_token_len,
+       CASE WHEN len(b.toks) = 0 THEN NULL
+            ELSE round(CAST(a.sw AS DOUBLE) / len(b.toks), 6) END AS stopword_ratio
+FROM base b LEFT JOIN agg a USING(doc_id)
 ORDER BY b.doc_id
 """
     sqls["text_lang_guess"] = f"""
-WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents)
-SELECT doc_id,
-       round(CAST(sum(CASE WHEN term IN {_SW} THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS en_stopword_ratio,
-       CASE WHEN CAST(sum(CASE WHEN term IN {_SW} THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.05
+WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents),
+agg AS (
+  SELECT doc_id, count(*) AS n,
+         sum(CASE WHEN term IN {_SW} THEN 1 ELSE 0 END) AS sw
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(CAST(a.sw AS DOUBLE) / a.n, 6) AS en_stopword_ratio,
+       CASE WHEN CAST(a.sw AS DOUBLE) / a.n >= 0.05
             THEN 'en' ELSE 'unknown' END AS lang_guess
-FROM tok GROUP BY doc_id ORDER BY doc_id
+FROM documents d LEFT JOIN agg a USING(doc_id)
+ORDER BY d.doc_id
 """
     sqls["text_token_stats"] = f"""
 SELECT doc_id, CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens,
@@ -1577,7 +1603,7 @@ e AS (
                    OR tsd - lag(tsd) OVER w > 600.0
                    OR abs(rank - lag(rank) OVER w) > 5
               THEN 1 ELSE 0 END AS new_flag
-  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY tsd)
+  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY tsd, rank)
 ),
 g AS (
   SELECT user_id, tsd, value, rank,

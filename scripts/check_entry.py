@@ -63,8 +63,13 @@ def dtype_errs(name: str, spark_schema, duck_schema) -> list[str]:
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (bytes, bytearray)):
-            df[c] = df[c].map(bytes)
+        if df[c].dtype == object and df[c].map(
+            lambda v: isinstance(v, (bytes, bytearray))
+        ).any():
+            # null-safe: inspecting only row 0 missed None-first binary
+            # columns (one side normalized, the other not) and bytes(None)
+            # crashed the whole run on a bytes-first column with a later None
+            df[c] = df[c].map(lambda v: bytes(v) if v is not None else None)
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -96,36 +101,50 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark(master="local[8]", app_name="check_entry", shuffle_partitions=8)
     qs, sqls = E.queries(), E.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd/stale name used to filter out EVERY query and exit 0
+        # with "all entries match" — a broken entry shipped believed-verified
+        print(f"unknown entry name(s): {sorted(unknown)}", file=sys.stderr)
+        print(f"known: {sorted(qs)}", file=sys.stderr)
+        return 2
+    spark = get_spark(master="local[8]", app_name="check_entry", shuffle_partitions=8)
     failures = []
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        try:
-            sdf = fn(spark, sf_dir)
-            stb = sdf.toArrow()
-            got = stb.to_pandas()
-        except Exception as ex:  # noqa: BLE001
-            failures.append(f"{name}: SPARK ERROR {type(ex).__name__}: {ex}")
-            print(f"FAIL  {name} (spark error)", flush=True)
-            continue
-        if name not in sqls:
-            print(f"rows-only  {name}: {len(got)} rows", flush=True)
-            continue
-        try:
-            want, duck_schema = duck_run(sf_dir, sqls[name])
-        except Exception as ex:  # noqa: BLE001
-            failures.append(f"{name}: DUCKDB ERROR {type(ex).__name__}: {ex}")
-            print(f"FAIL  {name} (duckdb error)", flush=True)
-            continue
-        errs = compare(name, got, want) + dtype_errs(name, stb.schema, duck_schema)
-        if errs:
-            failures.extend(errs)
-            print(f"FAIL  {name}: {errs[0]}", flush=True)
-        else:
-            print(f"ok    {name}: {len(got)} rows", flush=True)
-    spark.stop()
+    try:
+        for name, fn in qs.items():
+            if only and name not in only:
+                continue
+            try:
+                sdf = fn(spark, sf_dir)
+                stb = sdf.toArrow()
+                got = stb.to_pandas()
+            except Exception as ex:  # noqa: BLE001
+                failures.append(f"{name}: SPARK ERROR {type(ex).__name__}: {ex}")
+                print(f"FAIL  {name} (spark error)", flush=True)
+                continue
+            if name not in sqls:
+                print(f"rows-only  {name}: {len(got)} rows", flush=True)
+                continue
+            try:
+                want, duck_schema = duck_run(sf_dir, sqls[name])
+            except Exception as ex:  # noqa: BLE001
+                failures.append(f"{name}: DUCKDB ERROR {type(ex).__name__}: {ex}")
+                print(f"FAIL  {name} (duckdb error)", flush=True)
+                continue
+            try:
+                errs = compare(name, got, want) + dtype_errs(
+                    name, stb.schema, duck_schema)
+            except Exception as ex:  # noqa: BLE001 — a compare crash must
+                # not abort the run with no failure summary
+                errs = [f"{name}: COMPARE ERROR {type(ex).__name__}: {ex}"]
+            if errs:
+                failures.extend(errs)
+                print(f"FAIL  {name}: {errs[0]}", flush=True)
+            else:
+                print(f"ok    {name}: {len(got)} rows", flush=True)
+    finally:
+        spark.stop()
     if failures:
         print("\n== FAILURES ==")
         for f in failures:

@@ -250,6 +250,37 @@ def test_sessionize(spark):
     assert row["n_events"] == 3 and row["duration_s"] == 100
 
 
+def test_tolerance_merge_deterministic_on_ts_ties(spark):
+    """Two hits at the IDENTICAL timestamp: the (ts, rank) window tiebreak
+    makes the chaining deterministic — ORDER BY ts alone left the merge
+    groups an accident of partitioning (flaky vs the DuckDB oracle)."""
+    import datetime as _dt
+
+    from wise_spark.pipeline.relational import tolerance_merge
+
+    base = _dt.datetime(2024, 1, 1)
+    # ranks 1 and 50 at the same ts: |1-50| > rank_tolerance, so the chain
+    # MUST break between them — but which row comes first decides whether
+    # the third hit (rank 48, +1s) chains to the second
+    rows = [
+        (1, base, 1, 0.9),
+        (1, base, 50, 0.5),
+        (1, base + _dt.timedelta(seconds=1), 48, 0.4),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, rank int, score double")
+    outs = []
+    for parts in (1, 8):
+        out = tolerance_merge(
+            df.repartition(parts), "user_id", "ts", "rank", "score",
+            pts_tolerance=600.0, rank_tolerance=5,
+        ).toPandas().sort_values(["merge_id"]).reset_index(drop=True)
+        outs.append(out)
+    import pandas as _pd
+    _pd.testing.assert_frame_equal(outs[0], outs[1])
+    # rank order within the tie: 1 first, then 50 chains with 48
+    assert outs[0]["n_hits"].tolist() == [1, 2]
+
+
 def test_best_per_group_and_ordered_lookup(spark):
     from wise_spark.pipeline.relational import best_per_group, ordered_lookup
 

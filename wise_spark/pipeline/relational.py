@@ -79,8 +79,13 @@ def tolerance_merge(
 
     Output: (key, merge_id, n_hits, start_s, end_s, best_rank, best_score).
     Scale: one shuffle on key_col; both windows run within partitions.
+
+    The window orders by (ts, rank): the rank tiebreak makes the chaining
+    deterministic when a key has two hits at the identical timestamp —
+    ORDER BY ts alone leaves the adjacent-row rank deltas (and therefore
+    the merge groups) an accident of partitioning.
     """
-    w = Window.partitionBy(key_col).orderBy(ts_col)
+    w = Window.partitionBy(key_col).orderBy(ts_col, rank_col)
     ts = _epoch_seconds(ts_col)
     prev_ts = F.lag(ts).over(w)
     prev_rank = F.lag(F.col(rank_col)).over(w)

@@ -89,17 +89,24 @@ class MiniCluster:
         self.executor_cores = max(1, executor_cores)
         self.master_url = f"spark://127.0.0.1:{port}"
         self._procs: list[subprocess.Popen] = []
+        self._logs: list = []   # Popen stdout handles, closed in stop()
 
     @staticmethod
     def cleanup_stale() -> None:
         """Kill leaked master/worker/executor JVMs from crashed prior runs —
         a zombie cluster silently contends with every later measurement.
-        Patterns are EXACT class names: the former "org.apache.spark.deploy"
-        prefix also matched SparkSubmit, i.e. it killed every concurrent
-        local-mode driver on the box (pytest sessions, check_entry runs)."""
-        for pat in ("org.apache.spark.deploy.master.Master",
-                    "org.apache.spark.deploy.worker.Worker",
-                    "CoarseGrainedExecutorBackend"):
+        Patterns are EXACT class names (the former "org.apache.spark.deploy"
+        prefix also matched SparkSubmit, killing every concurrent local-mode
+        driver) AND scoped to loopback standalone processes: MiniCluster
+        masters bind 127.0.0.1 and its workers register to spark://127.0.0.1,
+        so a remote-cluster worker or a YARN executor on the same box is
+        never collateral. Executors are matched via the --worker-url their
+        standalone worker passes them (spark://Worker@127.0.0.1:...)."""
+        for pat in (
+            r"org.apache.spark.deploy.master.Master --host 127\.0\.0\.1",
+            r"org.apache.spark.deploy.worker.Worker spark://127\.0\.0\.1",
+            r"CoarseGrainedExecutorBackend.*Worker@127\.0\.0\.1",
+        ):
             subprocess.run(["pkill", "-9", "-f", pat], check=False)
         time.sleep(0.5)
 
@@ -118,11 +125,12 @@ class MiniCluster:
         os.makedirs(self.work_dir, exist_ok=True)
         mlog = os.path.join(self.work_dir, "master.log")
         wlog = os.path.join(self.work_dir, "worker.log")
+        self._logs.append(open(mlog, "w"))
         self._procs.append(subprocess.Popen(
             ["java", "-cp", cp, "-Xmx1g",
              "org.apache.spark.deploy.master.Master",
              "--host", "127.0.0.1", "--port", str(self.port), "--webui-port", "0"],
-            stdout=open(mlog, "w"), stderr=subprocess.STDOUT, env=env,
+            stdout=self._logs[-1], stderr=subprocess.STDOUT, env=env,
             start_new_session=True,
         ))
         _wait_for(mlog, "I have been elected leader")
@@ -162,8 +170,9 @@ class MiniCluster:
                 wenv = {**env, "SPARK_LOCAL_DIRS":
                         f"{env.get('SPARK_LOCAL_DIRS', self.work_dir)}/w{i}"}
                 os.makedirs(wenv["SPARK_LOCAL_DIRS"], exist_ok=True)
+                self._logs.append(open(wl, "w"))
                 self._procs.append(subprocess.Popen(
-                    wcmd, stdout=open(wl, "w"), stderr=subprocess.STDOUT,
+                    wcmd, stdout=self._logs[-1], stderr=subprocess.STDOUT,
                     env=wenv, start_new_session=True,
                 ))
             for wl in wlogs:
@@ -176,17 +185,43 @@ class MiniCluster:
                 "--work-dir", os.path.join(self.work_dir, "work")]
         if shutil.which("taskset"):
             wcmd = ["taskset", "-c", self.worker_cpus] + wcmd
+        self._logs.append(open(wlog, "w"))
         self._procs.append(subprocess.Popen(
-            wcmd, stdout=open(wlog, "w"), stderr=subprocess.STDOUT, env=env,
+            wcmd, stdout=self._logs[-1], stderr=subprocess.STDOUT, env=env,
             start_new_session=True,
         ))
         _wait_for(wlog, "Successfully registered with master")
         return self
 
-    def session(self, executor_cores: int, executor_mem_gb: int,
-                shuffle_partitions: int, app_name: str = "wise_cluster",
+    def session(self, executor_cores: int | None = None,
+                executor_mem_gb: int = 8,
+                shuffle_partitions: int = 8, app_name: str = "wise_cluster",
                 extra_conf: dict | None = None):
+        from pyspark.sql import SparkSession
+
         from .session import get_spark
+
+        # executor cores default to the cluster's worker size; a LARGER ask
+        # can never be placed on any worker — the app registers, gets zero
+        # executors, and the first action hangs forever with only scheduler
+        # 'not accepted any resources' warnings
+        if executor_cores is None:
+            executor_cores = self.executor_cores
+        if self.per_cpu_workers and executor_cores > self.executor_cores:
+            raise ValueError(
+                f"executor_cores={executor_cores} exceeds this cluster's "
+                f"worker size ({self.executor_cores}); no executor can ever "
+                "be placed — pass executor_cores to MiniCluster(...) too")
+        # getOrCreate silently returns ANY live session, dropping master and
+        # every conf below — a pre-existing local session would masquerade
+        # as the cluster and invalidate scaling measurements with no error
+        active = SparkSession.getActiveSession()
+        if active is not None and active.sparkContext.master != self.master_url:
+            raise RuntimeError(
+                f"a SparkSession on master={active.sparkContext.master!r} is "
+                f"already active; stop it before MiniCluster.session() — "
+                "getOrCreate would silently reuse it instead of connecting "
+                f"to {self.master_url}")
 
         conf = {
             "spark.executor.cores": str(executor_cores),
@@ -241,6 +276,12 @@ class MiniCluster:
             except subprocess.TimeoutExpired:
                 p.kill()
         self._procs.clear()
+        for f in self._logs:
+            try:
+                f.close()
+            except OSError:
+                pass
+        self._logs.clear()
 
     def __enter__(self) -> "MiniCluster":
         return self.start()

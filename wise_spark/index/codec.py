@@ -227,7 +227,16 @@ def encode_postings_many(
     lens = ends - starts
     nblk = (lens + BLOCK - 1) // BLOCK
     rep_starts = np.repeat(starts, nblk)
-    within = np.concatenate([np.arange(k, dtype=np.int64) for k in nblk]) if nblk.size else np.empty(0, np.int64)
+    # vectorized within-list block indices (0..nblk_i-1 per list): a per-list
+    # [np.arange(k) for k in nblk] loop allocated one tiny array per posting
+    # list — interpreter overhead linear in list count in the build's
+    # hottest kernel (merge tasks carry millions of short lists)
+    if nblk.size:
+        nb_bounds = np.cumsum(nblk)
+        within = (np.arange(int(nb_bounds[-1]), dtype=np.int64)
+                  - np.repeat(nb_bounds - nblk, nblk))
+    else:
+        within = np.empty(0, np.int64)
     blockstarts = rep_starts + within * BLOCK
     blk_max_all = np.maximum.reduceat(tfc, blockstarts) if blockstarts.size else np.empty(0)
     blk_end_idx = np.minimum(blockstarts + BLOCK, np.repeat(ends, nblk)) - 1

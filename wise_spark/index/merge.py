@@ -31,7 +31,7 @@ from .build import (
     _group_bounds,
     _permute,
 )
-from .codec import decode_positions, encode_postings_many, vb_decode
+from .codec import decode_positions, decode_postings, encode_postings_many
 
 
 def _remerge_fn(avgdl: float, with_positions: bool = False):
@@ -50,12 +50,10 @@ def _remerge_fn(avgdl: float, with_positions: bool = False):
         for s, e in zip(g_starts, g_ends):
             ids_l, tfs_l, dls_l, pos_l = [], [], [], []
             for j in range(s, e):
-                gaps = vb_decode(bytes(pdf["docids"].iat[j]))
-                with np.errstate(over="ignore"):
-                    ids_l.append(np.cumsum(gaps, dtype=np.uint64).view(np.int64))
-                tfs_j = vb_decode(bytes(pdf["tfs"].iat[j])).astype(np.int64) + 1
+                ids_j, tfs_j, dls_j = decode_postings(pdf.iloc[j])
+                ids_l.append(ids_j)
                 tfs_l.append(tfs_j)
-                dls_l.append(vb_decode(bytes(pdf["doclens"].iat[j])).astype(np.int64))
+                dls_l.append(dls_j)
                 if with_positions:
                     pos_l.append(decode_positions(bytes(pdf["positions"].iat[j]), tfs_j))
             ids = np.concatenate(ids_l)
@@ -106,6 +104,11 @@ def merge_indexes(
     ma, mb = IndexMeta.load(dir_a), IndexMeta.load(dir_b)
     if ma.n_shards != mb.n_shards:
         raise ValueError(f"shard count mismatch: {ma.n_shards} != {mb.n_shards}")
+    if os.path.abspath(out_dir) in (os.path.abspath(dir_a), os.path.abspath(dir_b)):
+        raise ValueError(
+            "merge_indexes is snapshot-semantics only: out_dir must differ "
+            "from both inputs (in-place overwrite would delete an input "
+            "mid-read)")
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
 
@@ -137,7 +140,14 @@ def merge_indexes(
     merged = segs.repartition(max(par, 4), "shard", "term").mapInPandas(
         _remerge_fn(avgdl, with_positions=with_pos), schema=SEGMENT_SCHEMA
     )
-    # same flat per-wave layout as build_index (wave=0 = "fully merged")
+    # same flat per-wave layout as build_index (wave=0 = "fully merged").
+    # Clear the WHOLE segments tree first: the overwrite below is scoped to
+    # wave=0, so stale wave>0 dirs from a previous multi-wave index in a
+    # reused out_dir would survive and silently leak ghost postings into
+    # the terms aggregation and every query.
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.join(out_dir, "segments"), ignore_errors=True)
     merged.write.mode("overwrite").parquet(
         os.path.join(out_dir, "segments", "wave=0")
     )

@@ -18,8 +18,7 @@ import numpy as np
 import pandas as pd
 
 from ..analyzer import tokenize_text
-from .. import IDF_FLOOR
-from ..query.bm25 import idf_scalar, tf_component
+from ..query.bm25 import idf_scalar, tf_component  # idf_scalar applies the floor
 
 
 class PandasBM25Oracle:

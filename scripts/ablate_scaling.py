@@ -55,6 +55,7 @@ def main() -> None:
     MiniCluster.cleanup_stale()
     with MiniCluster(cores=cores, worker_cpus=WORKER_CPUS[cores],
                      work_dir=cluster_dir, port=7300 + cores,
+                     executor_cores=EXECUTOR_CORES[cores],
                      local_dirs=f"/dev/shm/wise_abl_local_{cores}") as mc:
         spark = mc.session(
             executor_cores=EXECUTOR_CORES[cores],

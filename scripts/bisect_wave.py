@@ -42,7 +42,7 @@ def main() -> None:
     MiniCluster.cleanup_stale()
     out: dict = {"cores": cores}
     with MiniCluster(cores=cores, worker_cpus=WORKER_CPUS[cores],
-                     work_dir=wd, port=7600 + cores,
+                     work_dir=wd, port=7600 + cores, executor_cores=2,
                      local_dirs=f"/dev/shm/wise_bisect_local_{cores}") as mc:
         spark = mc.session(
             executor_cores=2, executor_mem_gb=4,

@@ -28,7 +28,8 @@ def main() -> None:
     wd = os.path.join(tempfile.gettempdir(), f"mc_bisect_{cores}")
     shutil.rmtree(wd, ignore_errors=True)
     with MiniCluster(cores=cores, worker_cpus=WORKER_CPUS[cores],
-                     work_dir=wd, port=7400 + cores) as mc:
+                     work_dir=wd, port=7400 + cores,
+                     executor_cores=4) as mc:
         spark = mc.session(executor_cores=4, executor_mem_gb=10,
                            shuffle_partitions=2 * cores, app_name=f"bisect_{cores}")
         spark.range(10).count()  # warm executors

@@ -544,7 +544,19 @@ def _run_one_level(cores: int, n_docs: int, r: int, max_attempts: int = 2):
     if cores in _QUERIES_DONE:
         env["SPARK_GRAFT_SKIP_QUERIES"] = "1"
     for attempt in range(max_attempts):
-        budget = max(60.0, min(1200.0, _remaining()))
+        if _remaining() <= 0:
+            # the old max(60, ...) floor REVIVED a spent budget: after a
+            # deadline-length attempt timed out, a fresh 60s attempt still
+            # launched, pushing the process past the wall-clock budget and
+            # into the driver's own kill window before the always-emit
+            # wind-down could print the final JSON (observed rc=124 with an
+            # empty stdout on the 23:09Z run — the exact r3 failure mode)
+            log(f"  scaling {cores}-core run{r}: budget spent "
+                f"({_remaining():.0f}s), abandoning remaining attempts")
+            break
+        # never exceed the remaining wall-clock budget: the attempt timeout
+        # is capped by it (no floor — a floor is an overrun by another name)
+        budget = min(1200.0, _remaining())
         try:
             p = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=budget, env=env,

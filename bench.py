@@ -241,7 +241,8 @@ def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
         "ft_bm25_topk_any", "ft_bm25_topk_all", "ft_bm25_wand", "ft_not_in",
         "ft_and_merge", "ft_or_merge", "ft_term_df", "ft_phrase",
         "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "dedup_simhash_pairs", "ann_cosine_topk", "ann_lsh_recall",
+        "dedup_simhash_pairs", "dedup_emb_neardup", "ann_cosine_topk",
+        "ann_lsh_recall", "ann_ivf_recall", "mm_decode_image_stats",
         "eval_map_bm25", "meta_csv_import", "rel_sessionize",
         "rel_tolerance_merge", "rel_overlap_antijoin", "rel_overlap_join",
         "rel_pricing_summary",

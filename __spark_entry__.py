@@ -617,6 +617,63 @@ def q_text_token_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_text_repetition(spark, sf_dir):
+    from wise_spark.pipeline import repetition_features
+
+    return repetition_features(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _messy_urls(docs):
+    """Deterministic messy surface URL per document (the DuckDB oracle
+    inlines the identical derivation): scheme/www/port/tracking/fragment/
+    trailing-slash variants that all canonicalize away, keyed so every
+    (doc_id % 100) residue class collapses to ONE canonical URL — doc_id %
+    100 fixes doc_id % 20 and hence the source-derived host, so groups are
+    host-consistent by construction."""
+    did = F.col("doc_id")
+    pk = (did % 100).cast("string")
+    has_q = (did % 100) % 2 == 0
+    raw = F.concat(
+        F.when(did % 2 == 0, F.lit("http://")).otherwise(F.lit("https://")),
+        F.when(did % 5 == 0, F.lit("WWW."))
+        .when(did % 5 == 1, F.lit("www."))
+        .otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(did % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        pk,
+        F.when(~has_q & (did % 3 == 0), F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            has_q,
+            F.concat(
+                F.lit("?id="), pk,
+                F.when(did % 4 == 0, F.lit("&utm_source=Feed")).otherwise(F.lit("")),
+            ),
+        ).otherwise(
+            F.when(did % 4 == 0, F.lit("?utm_source=Feed")).otherwise(F.lit(""))
+        ),
+        F.when(did % 6 == 0, F.lit("#Sec2")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", raw.alias("raw_url"))
+
+
+def q_url_canonical(spark, sf_dir):
+    from wise_spark.pipeline import canonicalize_url
+
+    raw = _messy_urls(_t(spark, sf_dir, "documents"))
+    return raw.select(
+        "doc_id", "raw_url", canonicalize_url("raw_url").alias("canon_url")
+    ).orderBy("doc_id")
+
+
+def q_url_dup_groups(spark, sf_dir):
+    from wise_spark.pipeline import url_duplicate_groups
+
+    raw = _messy_urls(_t(spark, sf_dir, "documents"))
+    return url_duplicate_groups(raw, url_col="raw_url").orderBy("canon_url")
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from wise_spark.pipeline import cosine_topk
 
@@ -965,6 +1022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_guess": q_text_lang_guess,
         "text_token_stats": q_text_token_stats,
+        "text_repetition": q_text_repetition,
+        "url_canonical": q_url_canonical,
+        "url_dup_groups": q_url_dup_groups,
         "ann_cosine_topk": q_ann_cosine_topk,
         "mm_binary_metadata": q_mm_binary_metadata,
         "mm_decode_image_stats": q_mm_decode_image_stats,
@@ -1501,6 +1561,88 @@ ORDER BY d.doc_id
 SELECT doc_id, CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct({_TOK_SQL})) AS BIGINT) AS n_distinct
 FROM documents ORDER BY doc_id
+"""
+    # Gopher-style repetition features; LEFT JOIN keeps docs with < n tokens
+    # (NULL features), mirroring Spark's left join back to the docs relation
+    def _rep_cte(n):
+        grams = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+        return f"""
+g{n} AS (
+  SELECT doc_id, n_chars,
+         unnest(list_transform(range(1, len(t) - {n - 2}), i -> {grams})) AS gram
+  FROM base WHERE len(t) >= {n}
+),
+a{n} AS (
+  SELECT doc_id,
+         round(CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt), 6)
+             AS dup_{n}gram_frac,
+         round(CAST(max(cnt * length(gram)) AS DOUBLE) / min(n_chars), 6)
+             AS top_{n}gram_char_frac
+  FROM (SELECT doc_id, n_chars, gram, count(*) AS cnt
+        FROM g{n} GROUP BY 1, 2, 3)
+  GROUP BY doc_id
+)"""
+
+    sqls["text_repetition"] = f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars, {_TOK_SQL} AS t FROM documents
+),{_rep_cte(2)},{_rep_cte(3)}
+SELECT d.doc_id, a2.dup_2gram_frac, a2.top_2gram_char_frac,
+       a3.dup_3gram_frac, a3.top_3gram_char_frac
+FROM documents d
+LEFT JOIN a2 USING(doc_id) LEFT JOIN a3 USING(doc_id)
+ORDER BY d.doc_id
+"""
+
+    # canonical-URL dedup: the raw-URL derivation mirrors _messy_urls; the
+    # canonicalization chain mirrors wise_spark.pipeline.urls.canonicalize_url
+    # (DuckDB regexp_replace needs the explicit 'g' flag where Spark's
+    # replaces all matches by default)
+    _RAW_URL_SQL = """
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.'
+             WHEN doc_id % 5 = 1 THEN 'www.' ELSE '' END)
+    || source || '.example.com'
+    || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+    || '/docs/' || CAST(doc_id % 100 AS VARCHAR)
+    || (CASE WHEN (doc_id % 100) % 2 <> 0 AND doc_id % 3 = 0
+             THEN '/' ELSE '' END)
+    || (CASE WHEN (doc_id % 100) % 2 = 0
+             THEN '?id=' || CAST(doc_id % 100 AS VARCHAR)
+                  || (CASE WHEN doc_id % 4 = 0
+                           THEN '&utm_source=Feed' ELSE '' END)
+             ELSE (CASE WHEN doc_id % 4 = 0
+                        THEN '?utm_source=Feed' ELSE '' END) END)
+    || (CASE WHEN doc_id % 6 = 0 THEN '#Sec2' ELSE '' END) AS raw_url
+  FROM documents
+"""
+    _canon = "lower(trim(raw_url))"
+    for _pat, _rep, _flag in [
+        ("#.*", "", "g"),
+        ("^http://", "https://", ""),
+        ("(utm_[a-z0-9_]+|fbclid|gclid)=[^&]*&", "", "g"),
+        ("[?&](utm_[a-z0-9_]+|fbclid|gclid)=[^&]*$", "", ""),
+        ("[?]$", "", ""),
+    ]:
+        _canon = f"regexp_replace({_canon}, '{_pat}', '{_rep}', '{_flag}')"
+    _canon = f"replace({_canon}, ':443/', '/')"
+    for _pat, _rep in [
+        (":443$", ""),
+        ("^https://www[.]", "https://"),
+        ("/$", ""),
+    ]:
+        _canon = f"regexp_replace({_canon}, '{_pat}', '{_rep}', '')"
+
+    sqls["url_canonical"] = f"""
+WITH raw AS ({_RAW_URL_SQL})
+SELECT doc_id, raw_url, {_canon} AS canon_url FROM raw ORDER BY doc_id
+"""
+    sqls["url_dup_groups"] = f"""
+WITH raw AS ({_RAW_URL_SQL})
+SELECT {_canon} AS canon_url, count(*) AS n_docs,
+       min(doc_id) AS keeper_doc_id
+FROM raw GROUP BY 1 HAVING count(*) > 1 ORDER BY canon_url
 """
     sqls["ann_cosine_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -245,7 +245,7 @@ def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
         "ann_lsh_recall", "ann_ivf_recall", "mm_decode_image_stats",
         "eval_map_bm25", "meta_csv_import", "rel_sessionize",
         "rel_tolerance_merge", "rel_overlap_antijoin", "rel_overlap_join",
-        "rel_pricing_summary",
+        "rel_pricing_summary", "text_repetition", "url_dup_groups",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -566,3 +566,75 @@ def test_execute_rejects_file_queries(spark):
     parsed = parse_query("@queries.csv in text", ["text"])
     with _pytest.raises(QueryParseError, match="query-file reference"):
         execute(parsed, {"text": lambda q, m: None})
+
+
+def test_repetition_features_gopher_counts(spark):
+    from wise_spark.pipeline import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),       # 2-grams: ab,ba,ab,ba,ab -> 5 occ, 2 distinct
+            (1, "x y z w"),           # all 2-grams distinct
+            (2, "q"),                 # < 2 tokens -> NULL features
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_features(docs, ns=(2,)).collect()}
+    # doc 0: dup = (5-2)/5; top = max(cnt*len) = 3*len("a b")=9 over 11 chars
+    assert rows[0]["dup_2gram_frac"] == round(3 / 5, 6)
+    assert rows[0]["top_2gram_char_frac"] == round(9 / 11, 6)
+    assert rows[1]["dup_2gram_frac"] == 0.0
+    assert rows[2]["dup_2gram_frac"] is None          # row preserved, NULL
+    assert rows[2]["top_2gram_char_frac"] is None
+
+
+def test_repetition_features_flags_repetitive_doc(small_docs):
+    from wise_spark.pipeline import repetition_features
+
+    extra = small_docs.sparkSession.createDataFrame(
+        [(99, "spam spam spam spam spam spam spam spam")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repetition_features(small_docs.union(extra)).collect()
+    }
+    assert out[99]["dup_2gram_frac"] > 0.8          # degenerate repetition
+    assert out[3]["dup_2gram_frac"] == 0.0          # normal prose
+
+
+def test_canonicalize_url_rules(spark):
+    from wise_spark.pipeline import canonicalize_url
+
+    cases = [
+        ("HTTP://WWW.Example.COM:443/Docs/5/", "https://example.com/docs/5"),
+        ("https://example.com/a?utm_source=feed&id=7", "https://example.com/a?id=7"),
+        ("https://example.com/a?id=7&utm_campaign=x&fbclid=z", "https://example.com/a?id=7"),
+        ("https://example.com/a?utm_a=1&utm_b=2#frag", "https://example.com/a"),
+        ("http://example.com#sec", "https://example.com"),
+        ("https://example.com/path", "https://example.com/path"),
+    ]
+    df = spark.createDataFrame(cases, "raw string, want string")
+    bad = df.select("raw", "want", canonicalize_url("raw").alias("got")).where(
+        F.col("got") != F.col("want")
+    ).collect()
+    assert bad == [], bad
+
+
+def test_url_duplicate_groups(spark):
+    from wise_spark.pipeline import url_duplicate_groups
+
+    docs = spark.createDataFrame(
+        [
+            (0, "http://www.site.com/p/1"),
+            (1, "https://site.com/p/1/"),
+            (2, "https://site.com/p/1?utm_source=x"),
+            (3, "https://site.com/p/2"),
+        ],
+        "doc_id long, url string",
+    )
+    out = url_duplicate_groups(docs).collect()
+    assert len(out) == 1
+    assert out[0]["canon_url"] == "https://site.com/p/1"
+    assert out[0]["n_docs"] == 3
+    assert out[0]["keeper_doc_id"] == 0

@@ -1,4 +1,11 @@
-from .text import token_stats, quality_features, lang_guess, fingerprints
+from .text import (
+    token_stats,
+    quality_features,
+    lang_guess,
+    fingerprints,
+    repetition_features,
+)
+from .urls import canonicalize_url, url_duplicate_groups
 from .dedup import (
     exact_duplicates,
     shingles,
@@ -30,6 +37,9 @@ __all__ = [
     "quality_features",
     "lang_guess",
     "fingerprints",
+    "repetition_features",
+    "canonicalize_url",
+    "url_duplicate_groups",
     "exact_duplicates",
     "shingles",
     "ngram_jaccard_pairs",

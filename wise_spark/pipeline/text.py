@@ -67,6 +67,68 @@ def lang_guess(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def repetition_features(
+    docs: DataFrame,
+    ns: tuple[int, ...] = (2, 3),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style per-document repetition features (Rae et al. 2021,
+    "Scaling Language Models", Appendix A quality filters). For each n in
+    `ns`:
+
+      dup_{n}gram_frac      — fraction of n-gram OCCURRENCES that repeat an
+                              earlier occurrence: (occ - distinct) / occ.
+      top_{n}gram_char_frac — character mass of the heaviest single n-gram,
+                              max over grams of (count * len(gram)), divided
+                              by the document's character count. Taking the
+                              max of the char-mass product (rather than
+                              chars of the argmax-by-count gram) makes the
+                              value deterministic without a tie-break rule.
+                              Overlapping occurrences re-count their chars,
+                              so degenerate docs can score > 1.0 — it is a
+                              repetition SCORE to threshold on, not a
+                              fraction of distinct characters.
+
+    Docs with fewer than n tokens emit NULL features for that n (the LEFT
+    join back to the docs relation preserves the row).
+
+    Scale: explode -> groupBy(doc_id, gram) -> groupBy(doc_id), one shuffle
+    per n. The per-gram count combines map-side (partial aggregation), and
+    (doc_id, gram) keys are near-unique so no reducer ever sees more than
+    one document's grams — boilerplate-heavy corpora skew the GLOBAL gram
+    distribution but not this per-document key space."""
+    out = docs.select(F.col(id_col).alias("doc_id"))
+    for n in ns:
+        toks = _toks(text_col)
+        # NB: the transform lambda must stay single-parameter — a second
+        # parameter would be bound to the ARRAY INDEX by Spark, not the
+        # closure default. F.transform evaluates it eagerly, so closing
+        # over the loop's `n` is safe.
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+        g = docs.where(F.size(toks) >= n).select(
+            F.col(id_col).alias("doc_id"),
+            F.length(text_col).alias("n_chars"),
+            F.explode(grams).alias("gram"),
+        )
+        per = g.groupBy("doc_id", "n_chars", "gram").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        agg = per.groupBy("doc_id").agg(
+            F.round(
+                (F.sum("cnt") - F.count(F.lit(1))) / F.sum("cnt"), 6
+            ).alias(f"dup_{n}gram_frac"),
+            F.round(
+                F.max(F.col("cnt") * F.length("gram")) / F.first("n_chars"), 6
+            ).alias(f"top_{n}gram_char_frac"),
+        )
+        out = out.join(agg, "doc_id", "left")
+    return out
+
+
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Order-insensitive bag fingerprint: md5 over the sorted distinct token
     list — catches shuffled/reordered near-copies (our corpus tie docs)."""

@@ -1,0 +1,70 @@
+"""URL canonicalization and canonical-URL dedup for web-crawl pipelines.
+
+Common-Crawl-scale corpora carry the same page under many surface URLs
+(scheme variants, www., default ports, tracking params, fragments, trailing
+slashes). Deduping on a CANONICAL KEY collapses those before any content
+hashing runs — it is the cheapest dedup family because it needs no text at
+all (the reference ingests by filename/url identity, metadata.py:111-256;
+this is the web-corpus analog).
+
+Everything here is pure JVM string/regexp expressions (whole-stage codegen,
+no Python), and every rule is expressible in ANSI SQL for the DuckDB oracle
+(DuckDB regexp_replace needs the 'g' flag where Spark replaces all matches
+by default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# query params that never identify content
+TRACKING_PARAM_RE = "(utm_[a-z0-9_]+|fbclid|gclid)"
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical DEDUP KEY for a URL (not a display form): the whole string
+    is lowercased (hosts/schemes are case-insensitive; treating paths the
+    same is the usual crawl-pipeline key convention), then
+
+      1. fragment stripped (#...);
+      2. http:// -> https:// (scheme-variant collapse);
+      3. tracking query params stripped (utm_*, fbclid, gclid), including
+         the separator they ride on; a then-empty '?' is dropped;
+      4. default TLS port :443 stripped (before a path or at end);
+      5. leading www. stripped;
+      6. one trailing '/' stripped.
+
+    Port stripping uses two backreference-free rules so the same patterns
+    run unchanged on Java regex and RE2; a literal ':443/' inside a query
+    value would be over-stripped (documented key-convention tradeoff)."""
+    u = F.trim(F.lower(F.col(col) if isinstance(col, str) else col))
+    u = F.regexp_replace(u, "#.*", "")
+    u = F.regexp_replace(u, "^http://", "https://")
+    u = F.regexp_replace(u, TRACKING_PARAM_RE + "=[^&]*&", "")
+    u = F.regexp_replace(u, "[?&]" + TRACKING_PARAM_RE + "=[^&]*$", "")
+    u = F.regexp_replace(u, "[?]$", "")
+    u = F.replace(u, F.lit(":443/"), F.lit("/"))
+    u = F.regexp_replace(u, ":443$", "")
+    u = F.regexp_replace(u, "^https://www[.]", "https://")
+    u = F.regexp_replace(u, "/$", "")
+    return u
+
+
+def url_duplicate_groups(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate groups by canonical URL: (canon_url, n_docs, keeper_doc_id).
+
+    Scale: canonicalization is per-row codegen (zero shuffle); the grouping
+    is ONE groupBy keyed by the canonical string — hash-uniform, map-side
+    combined, exactly the `exact_duplicates` shape with the md5 replaced by
+    the canonical key."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            canonicalize_url(url_col).alias("canon_url"),
+        )
+        .groupBy("canon_url")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )

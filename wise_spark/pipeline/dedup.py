@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .text import ASCII_TOKEN_RE, _toks
+from .text import ASCII_TOKEN_RE, _toks, rebalance_narrow_scan
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -48,7 +48,8 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        rebalance_narrow_scan(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
         .where(F.size(toks) >= n)
     )
 
@@ -188,7 +189,8 @@ def simhash_fingerprints(
     """
     toks = _toks(text_col)
     tf = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        rebalance_narrow_scan(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("h", F.md5(F.col("term")))

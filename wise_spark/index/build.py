@@ -769,6 +769,13 @@ def build_index(
         sel = [F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")]
         if url_col:
             sel.append(F.col(url_col).alias("url"))
+        # A single-row-group source file cannot be split by the planner (row
+        # groups are the atomic scan unit), which would run the whole Stage A
+        # tokenize kernel on one core; the guard no-ops on wide sources, so
+        # the split-count tuning below stays in charge at scale.
+        from ..pipeline.text import rebalance_narrow_scan
+
+        docs = rebalance_narrow_scan(docs)
         tf = docs.select(*sel).mapInPandas(
             _doc_tokens_fn("doc_id", "text", "url" if url_col else None,
                             n_shards, n_waves, with_positions=with_positions),

@@ -27,6 +27,7 @@ from pyspark.sql.types import DoubleType
 
 from ..analyzer import tokenize_text
 from ..analyzer.tokenizer import term_counts_udf
+from ..pipeline.text import rebalance_narrow_scan
 from .bm25 import idf_col, tf_component_col
 
 
@@ -40,7 +41,9 @@ def _tf_relation(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Keeps ONE null-term row per empty-token doc (explode_outer) so exact
     N/avgdl fall out of the same relation. doclen counts ALL tokens (FTS5
     column-size semantics)."""
-    tc = docs.select(
+    # single-row-group sources would otherwise run the whole Arrow tokenize
+    # kernel on one core (see rebalance_narrow_scan) — no-op on wide scans
+    tc = rebalance_narrow_scan(docs).select(
         F.col(id_col).cast("long").alias("doc_id"),
         term_counts_udf()(F.col(text_col)).alias("tc"),
     )

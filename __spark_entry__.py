@@ -882,27 +882,28 @@ _EVAL_QUERIES = [(0, "spark merge window"), (1, "spark table"), (2, "hash join m
 def _eval_results_truth(corpus):
     """Shared eval harness: (results, truth) relations for _EVAL_QUERIES —
     BM25 any-mode top-50 ranking judged against exact all-terms-present
-    relevance. One definition so the mAP and nDCG entries cannot drift."""
-    from wise_spark.query.naive import score_query
-    from wise_spark.query.search import ranked
+    relevance. One definition so the mAP and nDCG entries cannot drift.
 
-    res_parts, truth_parts = [], []
-    for qid, q in _EVAL_QUERIES:
-        scored = score_query(corpus, q, "any").withColumn(
-            "score", F.round("score", 9)
-        )
-        res_parts.append(
-            ranked(scored, 50).select(F.lit(qid).alias("query_id"), "doc_id", "rank")
-        )
-        truth_parts.append(
-            score_query(corpus, q, "all").select(F.lit(qid).alias("query_id"), "doc_id")
-        )
-    results = res_parts[0]
-    for x in res_parts[1:]:
-        results = results.unionByName(x)
-    truth = truth_parts[0]
-    for x in truth_parts[1:]:
-        truth = truth.unionByName(x)
+    Both relations come from the BATCH scorer (`score_queries`): the whole
+    query set is ONE pass over the tf relation (the reference evaluates its
+    query set as one similarity-matrix pass), instead of 2 plans per query.
+    Ranking parity with the per-query path: score rounded to 9 dp first,
+    rank = 0-based row_number under (score desc, doc_id asc) per query."""
+    from pyspark.sql import Window
+    from wise_spark.query.naive import score_queries
+
+    scored = score_queries(corpus, _EVAL_QUERIES, mode="any").withColumn(
+        "score", F.round("score", 9)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    results = (
+        scored.withColumn("rank", F.row_number().over(w) - 1)
+        .filter(F.col("rank") < 50)
+        .select("query_id", "doc_id", "rank")
+    )
+    truth = score_queries(corpus, _EVAL_QUERIES, mode="all").select(
+        "query_id", "doc_id"
+    )
     return results, truth
 
 

@@ -95,3 +95,30 @@ def test_tie_break_ascending_doc_id(corpus, oracles):
     if len(dup):
         for _, grp in dup.groupby("score"):
             assert grp["doc_id"].is_monotonic_increasing
+
+
+@pytest.mark.parametrize("mode", ["any", "all"])
+def test_batch_score_queries_identical_to_per_query(corpus, mode):
+    """score_queries (one pass for Q queries) must be value-identical to Q
+    independent score_query plans — same df stats, same deterministic fold."""
+    from wise_spark.query.naive import score_query, score_queries
+
+    queries = [(i, text) for i, (_, text) in enumerate(reference_queries()[:4])]
+    batch = (
+        score_queries(corpus, queries, mode)
+        .toPandas()
+        .sort_values(["query_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    for qid, q in queries:
+        single = (
+            score_query(corpus, q, mode)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        got = batch[batch["query_id"] == qid].reset_index(drop=True)
+        assert got["doc_id"].tolist() == single["doc_id"].tolist(), (qid, q)
+        np.testing.assert_array_equal(
+            got["score"].to_numpy(), single["score"].to_numpy(), err_msg=str((qid, q))
+        )

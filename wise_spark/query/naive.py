@@ -101,10 +101,12 @@ class TokenizedCorpus:
         return cls(tf=tf, n_docs=int(row["n"]), avgdl=float(row["avgdl"] or 0.0))
 
 
-def _deterministic_score(contrib_df: DataFrame) -> DataFrame:
-    """groupBy(doc_id) summing contributions in sorted-term order (float64)."""
+def _deterministic_score(
+    contrib_df: DataFrame, keys: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """groupBy(*keys) summing contributions in sorted-term order (float64)."""
     folded = (
-        contrib_df.groupBy("doc_id")
+        contrib_df.groupBy(*keys)
         .agg(
             F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("cs"),
             F.count(F.lit(1)).alias("n_terms_hit"),
@@ -116,7 +118,7 @@ def _deterministic_score(contrib_df: DataFrame) -> DataFrame:
             ),
         )
     )
-    return folded.select("doc_id", "score", "n_terms_hit")
+    return folded.select(*keys, "score", "n_terms_hit")
 
 
 def score_query(corpus: TokenizedCorpus, query: str, mode: str = "all") -> DataFrame:
@@ -145,6 +147,58 @@ def score_query(corpus: TokenizedCorpus, query: str, mode: str = "all") -> DataF
     if mode == "all":
         scored = scored.filter(F.col("n_terms_hit") == len(terms))
     return scored.select("doc_id", "score")
+
+
+def score_queries(corpus: TokenizedCorpus, queries, mode: str = "all") -> DataFrame:
+    """Batch scorer: MANY queries in ONE pass over the tf relation —
+    (query_id, doc_id, score), per-query rank-identical to `score_query`
+    (same exact df stats, same sorted-term deterministic fold).
+
+    `queries` is an iterable of (query_id, query_text). The reference
+    evaluates its whole query set as one similarity-matrix pass
+    (/root/reference/scripts/eval/EpicKitchens-100/retrieval_eval.py:29-68);
+    this is the relational analog: the query->term relation (sum of
+    per-query distinct terms — driver-tiny even for thousands of queries)
+    BROADCASTS into the term-pruned tf scan, so Q queries cost ONE scan and
+    ONE (query_id, doc_id) exchange instead of Q separate plans. A term
+    shared by many queries fans out map-side after the broadcast join —
+    the score-fold reducer keys stay (query_id, doc_id), never skewed."""
+    rows = []
+    for qid, q in queries:
+        for t in sorted(set(tokenize_text(q))):
+            rows.append((int(qid), t))
+    spark = corpus.tf.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "query_id long, doc_id long, score double")
+    from collections import Counter
+
+    n_terms = Counter(qid for qid, _ in rows)
+    qt = spark.createDataFrame(
+        [(qid, t, n_terms[qid]) for qid, t in rows],
+        "query_id long, term string, n_q long",
+    )
+    all_terms = sorted({t for _, t in rows})
+    hits = corpus.tf.filter(F.col("term").isin(all_terms))
+    # exact df per matched term; tiny (<= |distinct terms| rows) -> broadcast
+    dfs = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        hits.join(F.broadcast(dfs), "term")
+        .join(F.broadcast(qt), "term")
+        .withColumn(
+            "contrib",
+            idf_col(F.col("df").cast("double"), corpus.n_docs)
+            * tf_component_col(
+                F.col("tf").cast("double"),
+                F.col("doclen").cast("double"),
+                F.lit(corpus.avgdl),
+            ),
+        )
+        .select("query_id", "n_q", "doc_id", "term", "contrib")
+    )
+    scored = _deterministic_score(contrib, keys=("query_id", "n_q", "doc_id"))
+    if mode == "all":
+        scored = scored.filter(F.col("n_terms_hit") == F.col("n_q"))
+    return scored.select("query_id", "doc_id", "score")
 
 
 def naive_topk(

@@ -623,6 +623,22 @@ def q_text_repetition(spark, sf_dir):
     return repetition_features(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def q_text_winnow_fps(spark, sf_dir):
+    from wise_spark.pipeline import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=4, w=4).orderBy(
+        "doc_id", "fp"
+    )
+
+
+def q_dedup_winnow_pairs(spark, sf_dir):
+    from wise_spark.pipeline import winnow_pairs
+
+    return winnow_pairs(_t(spark, sf_dir, "documents"), k=4, w=4, min_shared=2).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 def _messy_urls(docs):
     """Deterministic messy surface URL per document (the DuckDB oracle
     inlines the identical derivation): scheme/www/port/tracking/fragment/
@@ -1024,6 +1040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_guess": q_text_lang_guess,
         "text_token_stats": q_text_token_stats,
         "text_repetition": q_text_repetition,
+        "text_winnow_fps": q_text_winnow_fps,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "url_canonical": q_url_canonical,
         "url_dup_groups": q_url_dup_groups,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1593,6 +1611,40 @@ SELECT d.doc_id, a2.dup_2gram_frac, a2.top_2gram_char_frac,
 FROM documents d
 LEFT JOIN a2 USING(doc_id) LEFT JOIN a3 USING(doc_id)
 ORDER BY d.doc_id
+"""
+
+    # winnowing fingerprints (k=4, w=4): rolling 4-gram md5-prefix hashes,
+    # per-window min selected via a textual least() over w fixed offsets
+    # (fixed-length lowercase hex: lexicographic min == numeric min in both
+    # engines); mirrors pipeline.text.winnow_fingerprints exactly
+    _K, _W = 4, 4
+    _gram4 = " || ' ' || ".join(f"t[i+{j}]" for j in range(_K))
+    _least4 = ", ".join(f"hs[i+{j}]" for j in range(_W))
+    _WINNOW_CTE = f"""
+base AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(t) - {_K - 2}),
+                        i -> substr(md5({_gram4}), 1, 8)) AS hs
+  FROM base WHERE len(t) >= {_K + _W - 1}
+),
+fps AS (
+  SELECT doc_id,
+         unnest(list_sort(list_distinct(
+             list_transform(range(1, len(hs) - {_W - 2}),
+                            i -> least({_least4}))))) AS fp
+  FROM g
+)"""
+    sqls["text_winnow_fps"] = f"""
+WITH {_WINNOW_CTE}
+SELECT doc_id, fp FROM fps ORDER BY doc_id, fp
+"""
+    sqls["dedup_winnow_pairs"] = f"""
+WITH {_WINNOW_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY doc_a, doc_b
 """
 
     # canonical-URL dedup: the raw-URL derivation mirrors _messy_urls; the

@@ -246,6 +246,7 @@ def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
         "eval_map_bm25", "meta_csv_import", "rel_sessionize",
         "rel_tolerance_merge", "rel_overlap_antijoin", "rel_overlap_join",
         "rel_pricing_summary", "text_repetition", "url_dup_groups",
+        "dedup_winnow_pairs",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -638,3 +638,41 @@ def test_url_duplicate_groups(spark):
     assert out[0]["canon_url"] == "https://site.com/p/1"
     assert out[0]["n_docs"] == 3
     assert out[0]["keeper_doc_id"] == 0
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: any shared token run >= k + w - 1 yields at
+    least one shared fingerprint; disjoint docs share none."""
+    from wise_spark.pipeline import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"   # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, "intro words then " + shared + " and a tail here"),
+            (1, "different opening " + shared + " other closing words"),
+            (2, "utterly unrelated content about spark query engines today"),
+            (3, "tiny doc"),                                   # < k+w-1 tokens
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=4, w=4).toPandas()
+    by_doc = {d: set(g["fp"]) for d, g in fp.groupby("doc_id")}
+    assert by_doc[0] & by_doc[1], "shared 8-token run must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2])
+    assert 3 not in by_doc
+
+
+def test_winnow_pairs_finds_planted_dup(spark):
+    from wise_spark.pipeline import winnow_pairs
+
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (0, "prefix a b " + shared + " suffix c d"),
+            (1, "other start " + shared + " other end"),
+            (2, "nothing in common with anything else at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_pairs(docs, k=4, w=4, min_shared=2).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(0, 1)]

@@ -158,3 +158,73 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.md5(F.array_join(toks, " ")).alias("bag_fingerprint"),
         F.md5(F.col(text_col)).alias("exact_fingerprint"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    MOSS algorithm): rolling k-gram hashes, one selected per w-window.
+
+    (doc_id, fp) — fp is the 8-hex-char prefix of md5 over the space-joined
+    token k-gram; from each window of w consecutive gram hashes the MINIMUM
+    is selected (fixed-length lowercase hex, so lexicographic min ==
+    numeric min — identical in Spark and ANSI SQL), then selections are
+    deduplicated per doc. Guarantee: any shared token run of length >=
+    k + w - 1 produces at least one shared fingerprint, while only
+    ~2/(w+1) of the gram hashes survive — so a fingerprint inverted index
+    (or a pair self-join like ngram_jaccard's) moves ~w/2 x fewer rows for
+    the same detection floor. Docs with fewer than k + w - 1 tokens emit no
+    rows. Everything is per-row higher-order JVM expressions — the only
+    rows that ever leave a map task are the selected fingerprints."""
+    toks = _toks(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 8))
+    # TWO projections, not one: an expression referenced inside a transform
+    # lambda is re-evaluated PER ELEMENT, so sliding windows directly over
+    # the `hashes` expression recompute the whole md5 array per window —
+    # O(T^2) digests per doc (measured at sf0.1: 9.2 s vs 0.6 s). The
+    # intermediate column pins one evaluation per row.
+    step = (
+        rebalance_narrow_scan(docs)
+        .where(F.size(toks) >= k + w - 1)
+        .select(F.col(id_col).alias("doc_id"), hashes.alias("hs"))
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("hs")) - w),
+        lambda i: F.array_min(F.slice(F.col("hs"), i + 1, w)),
+    )
+    return step.select(
+        "doc_id", F.explode(F.array_sort(F.array_distinct(wins))).alias("fp")
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate pairs (doc_a < doc_b, shared_fps) sharing >=
+    min_shared winnowing fingerprints — the MOSS pair search as a bucketed
+    equi-join on fp (exactly ngram_jaccard's inverted-index shape, but over
+    the winnowed ~2/(w+1) subset, so the self-join fan-out shrinks
+    quadratically in the selection rate)."""
+    fp = winnow_fingerprints(docs, k, w, id_col, text_col)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

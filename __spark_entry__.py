@@ -905,18 +905,13 @@ def _eval_results_truth(corpus):
     query set as one similarity-matrix pass), instead of 2 plans per query.
     Ranking parity with the per-query path: score rounded to 9 dp first,
     rank = 0-based row_number under (score desc, doc_id asc) per query."""
-    from pyspark.sql import Window
     from wise_spark.query.naive import score_queries
+    from wise_spark.query.search import ranked_per
 
     scored = score_queries(corpus, _EVAL_QUERIES, mode="any").withColumn(
         "score", F.round("score", 9)
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    results = (
-        scored.withColumn("rank", F.row_number().over(w) - 1)
-        .filter(F.col("rank") < 50)
-        .select("query_id", "doc_id", "rank")
-    )
+    results = ranked_per(scored, k=50).select("query_id", "doc_id", "rank")
     truth = score_queries(corpus, _EVAL_QUERIES, mode="all").select(
         "query_id", "doc_id"
     )
@@ -1670,16 +1665,20 @@ ORDER BY doc_a, doc_b
     || (CASE WHEN doc_id % 6 = 0 THEN '#Sec2' ELSE '' END) AS raw_url
   FROM documents
 """
+    _TRK = "(utm_[a-z0-9_]+|fbclid|gclid)"
     _canon = "lower(trim(raw_url))"
     for _pat, _rep, _flag in [
         ("#.*", "", "g"),
         ("^http://", "https://", ""),
-        ("(utm_[a-z0-9_]+|fbclid|gclid)=[^&]*&", "", "g"),
-        ("[?&](utm_[a-z0-9_]+|fbclid|gclid)=[^&]*$", "", ""),
+        # same patterns as canonicalize_url; RE2 rewrite spells the
+        # backreference \1 where Java spells it $1
+        (f"([?&])({_TRK}=[^&]*&)+", r"\1", "g"),
+        (f"[?&]{_TRK}=[^&]*(&{_TRK}=[^&]*)*$", "", ""),
         ("[?]$", "", ""),
     ]:
         _canon = f"regexp_replace({_canon}, '{_pat}', '{_rep}', '{_flag}')"
-    _canon = f"replace({_canon}, ':443/', '/')"
+    for _lit, _to in [("/?", "?"), (":443/", "/"), (":443?", "?")]:
+        _canon = f"replace({_canon}, '{_lit}', '{_to}')"
     for _pat, _rep in [
         (":443$", ""),
         ("^https://www[.]", "https://"),

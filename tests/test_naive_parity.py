@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from wise_spark.data.queries import reference_queries
 from wise_spark.oracle import Fts5Oracle, PandasBM25Oracle, fts5_available
@@ -122,3 +123,31 @@ def test_batch_score_queries_identical_to_per_query(corpus, mode):
         np.testing.assert_array_equal(
             got["score"].to_numpy(), single["score"].to_numpy(), err_msg=str((qid, q))
         )
+
+
+def test_batch_score_queries_rejects_duplicate_ids(corpus):
+    """A repeated query_id would double-count shared terms and corrupt the
+    all-mode term-hit threshold — must fail loudly, not silently."""
+    from wise_spark.query.naive import score_queries
+
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        score_queries(corpus, [(0, "spark join"), (0, "spark merge")])
+
+
+def test_ranked_per_matches_ranked_convention(corpus):
+    """ranked_per (multi-query rank owner) must agree with ranked() on a
+    single-query relation — same 0-based rank, same tie-break."""
+    from wise_spark.query.naive import score_query
+    from wise_spark.query.search import ranked, ranked_per
+
+    scored = score_query(corpus, reference_queries()[0][1], "any")
+    single = ranked(scored, k=20).select("doc_id", "rank").toPandas()
+    multi = (
+        ranked_per(scored.withColumn("query_id", F.lit(0)), k=20)
+        .select("doc_id", "rank")
+        .toPandas()
+    )
+    single = single.sort_values("rank").reset_index(drop=True)
+    multi = multi.sort_values("rank").reset_index(drop=True)
+    assert single["doc_id"].tolist() == multi["doc_id"].tolist()
+    assert single["rank"].tolist() == multi["rank"].tolist()

@@ -613,6 +613,16 @@ def test_canonicalize_url_rules(spark):
         ("https://example.com/a?utm_a=1&utm_b=2#frag", "https://example.com/a"),
         ("http://example.com#sec", "https://example.com"),
         ("https://example.com/path", "https://example.com/path"),
+        # anchored strip: a param NAMED like a tracker must survive intact
+        ("https://example.com/a?xutm_b=1&id=7", "https://example.com/a?xutm_b=1&id=7"),
+        # run of trackers before a kept param keeps exactly one separator
+        ("https://e.com/a?utm_a=1&utm_b=2&id=3", "https://e.com/a?id=3"),
+        ("https://e.com/a?id=1&utm_a=2&id2=3", "https://e.com/a?id=1&id2=3"),
+        # default port directly before the query string
+        ("https://example.com:443?id=1", "https://example.com?id=1"),
+        # path trailing slash before the query string
+        ("https://site.com/?id=1", "https://site.com?id=1"),
+        ("https://site.com/a/?id=1", "https://site.com/a?id=1"),
     ]
     df = spark.createDataFrame(cases, "raw string, want string")
     bad = df.select("raw", "want", canonicalize_url("raw").alias("got")).where(

@@ -21,6 +21,46 @@ def _toks(text_col: str):
     return F.expr(f"regexp_extract_all(lower({text_col}), '{ASCII_TOKEN_RE}', 0)")
 
 
+def _effective_scan_parallelism(df: DataFrame, planned: int) -> int:
+    """Upper-bound the number of tasks that will actually carry rows.
+
+    `df.rdd.getNumPartitions()` counts PLANNED byte-range splits, but Spark
+    cannot split a parquet file below row-group granularity — each row group
+    is assigned to the one split containing its midpoint, so a fat
+    single-row-group file yields many planned splits of which exactly one
+    carries every row. Effective parallelism is therefore
+    min(planned, total row groups). Row-group counts come from driver-side
+    footer reads (pyarrow, metadata only — a few KB per file); with more
+    than 64 local files the count is extrapolated from a 64-file sample,
+    and any non-local / non-parquet / unreadable source falls back to the
+    planner's number (at real scale — thousands of files on object storage
+    — the planner count is already honest)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return planned
+    pq_files = [f for f in files if f.endswith(".parquet")]
+    if not pq_files or len(pq_files) != len(files):
+        return planned
+    local = []
+    for f in pq_files:
+        if f.startswith("file:"):
+            local.append("/" + f.split(":", 1)[1].lstrip("/"))
+        elif f.startswith("/"):
+            local.append(f)
+        else:
+            return planned
+    try:
+        import pyarrow.parquet as pq
+
+        sample = local[:64]
+        rgs = sum(pq.ParquetFile(p).metadata.num_row_groups for p in sample)
+        total_rgs = int(rgs * (len(local) / len(sample)))
+        return min(planned, max(total_rgs, 1))
+    except Exception:
+        return planned
+
+
 def rebalance_narrow_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Re-balance a NARROW source before CPU-heavy per-row text work.
 
@@ -29,13 +69,17 @@ def rebalance_narrow_scan(df: DataFrame, min_parts: int | None = None) -> DataFr
     fixtures) leaves the whole tokenize/shingle pipeline on a handful of
     cores while the rest of the cluster idles (measured at sf0.1: the
     5000-doc scan is ONE task; shingle emission 3.1 s -> 1.0 s on 32 cores
-    after rebalancing). When the source has at most half the scheduler's
-    slots, pay one narrow exchange of the raw rows to spread the CPU-bound
-    work; on a healthy wide scan (100 TB: thousands of row groups) the
-    guard makes this a no-op, so no shuffle is ever added at scale."""
+    after rebalancing). When the source can keep at most half the
+    scheduler's slots busy — judged on EFFECTIVE row-carrying tasks
+    (row-group-aware, see _effective_scan_parallelism), not the planner's
+    byte-range split count — pay one narrow exchange of the raw rows to
+    spread the CPU-bound work; on a healthy wide scan (100 TB: thousands
+    of row groups) the guard makes this a no-op, so no shuffle is ever
+    added at scale."""
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= target:
+    planned = df.rdd.getNumPartitions()
+    if _effective_scan_parallelism(df, planned) * 2 <= target:
         return df.repartition(target)
     return df
 
@@ -112,41 +156,59 @@ def repetition_features(
     Docs with fewer than n tokens emit NULL features for that n (the LEFT
     join back to the docs relation preserves the row).
 
-    Scale: explode -> groupBy(doc_id, gram) -> groupBy(doc_id), one shuffle
-    per n. The per-gram count combines map-side (partial aggregation), and
-    (doc_id, gram) keys are near-unique so no reducer ever sees more than
-    one document's grams — boilerplate-heavy corpora skew the GLOBAL gram
-    distribution but not this per-document key space."""
+    Scale: ONE tokenize pass, one explode of (n, gram)-tagged pairs for all
+    requested n at once, groupBy(doc_id, n, gram) -> conditional per-n
+    aggregation in a single groupBy(doc_id), then ONE left join back to the
+    doc spine — instead of a scan + tokenize + join PER n. The per-gram
+    count combines map-side (partial aggregation), and (doc_id, n, gram)
+    keys are near-unique so no reducer ever sees more than one document's
+    grams — boilerplate-heavy corpora skew the GLOBAL gram distribution but
+    not this per-document key space."""
     docs = rebalance_narrow_scan(docs)
-    out = docs.select(F.col(id_col).alias("doc_id"))
+    # pin tokens as a real column: an expression referenced inside a
+    # transform lambda is re-evaluated PER ELEMENT (see winnow_fingerprints)
+    step = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).alias("n_chars"),
+        _toks(text_col).alias("toks"),
+    )
+    toks = F.col("toks")
+    empty = F.array().cast("array<struct<n:int,gram:string>>")
+    tagged = []
     for n in ns:
-        toks = _toks(text_col)
         # NB: the transform lambda must stay single-parameter — a second
         # parameter would be bound to the ARRAY INDEX by Spark, not the
         # closure default. F.transform evaluates it eagerly, so closing
         # over the loop's `n` is safe.
         grams = F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            lambda i: F.struct(
+                F.lit(n).cast("int").alias("n"),
+                F.array_join(F.slice(toks, i + 1, n), " ").alias("gram"),
+            ),
         )
-        g = docs.where(F.size(toks) >= n).select(
-            F.col(id_col).alias("doc_id"),
-            F.length(text_col).alias("n_chars"),
-            F.explode(grams).alias("gram"),
-        )
-        per = g.groupBy("doc_id", "n_chars", "gram").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        agg = per.groupBy("doc_id").agg(
+        tagged.append(F.when(F.size(toks) >= n, grams).otherwise(empty))
+    g = step.select(
+        "doc_id", "n_chars", F.explode(F.flatten(F.array(*tagged))).alias("p")
+    ).select("doc_id", "n_chars", F.col("p.n").alias("n"), F.col("p.gram").alias("gram"))
+    per = g.groupBy("doc_id", "n_chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    exprs = []
+    for n in ns:
+        is_n = F.col("n") == n
+        occ = F.sum(F.when(is_n, F.col("cnt")))
+        dis = F.count(F.when(is_n, F.lit(1)))
+        exprs.append(F.round((occ - dis) / occ, 6).alias(f"dup_{n}gram_frac"))
+        exprs.append(
             F.round(
-                (F.sum("cnt") - F.count(F.lit(1))) / F.sum("cnt"), 6
-            ).alias(f"dup_{n}gram_frac"),
-            F.round(
-                F.max(F.col("cnt") * F.length("gram")) / F.first("n_chars"), 6
-            ).alias(f"top_{n}gram_char_frac"),
+                F.max(F.when(is_n, F.col("cnt") * F.length("gram")))
+                / F.first("n_chars"),
+                6,
+            ).alias(f"top_{n}gram_char_frac")
         )
-        out = out.join(agg, "doc_id", "left")
-    return out
+    agg = per.groupBy("doc_id").agg(*exprs)
+    return docs.select(F.col(id_col).alias("doc_id")).join(agg, "doc_id", "left")
 
 
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -29,21 +29,35 @@ def canonicalize_url(col: Column | str) -> Column:
       1. fragment stripped (#...);
       2. http:// -> https:// (scheme-variant collapse);
       3. tracking query params stripped (utm_*, fbclid, gclid), including
-         the separator they ride on; a then-empty '?' is dropped;
-      4. default TLS port :443 stripped (before a path or at end);
-      5. leading www. stripped;
-      6. one trailing '/' stripped.
+         the separator they ride on — anchored at a real '[?&]' boundary so
+         a param merely NAMED like one (e.g. 'xutm_b') is never touched;
+         a then-empty '?' is dropped;
+      4. a path trailing '/' directly before the query string dropped
+         ('/a/?id=1' == '/a?id=1');
+      5. default TLS port :443 stripped (before a path, a query, or at end);
+      6. leading www. stripped;
+      7. one trailing '/' stripped.
 
-    Port stripping uses two backreference-free rules so the same patterns
-    run unchanged on Java regex and RE2; a literal ':443/' inside a query
-    value would be over-stripped (documented key-convention tradeoff)."""
+    Patterns avoid lookbehind so they run unchanged on Java regex and RE2
+    (the DuckDB oracle); only the group-backreference SPELLING differs
+    ($1 on Spark, \\1 on DuckDB). Literal ':443/' / ':443?' / '/?' inside a
+    query VALUE would be over-collapsed (documented key-convention
+    tradeoff — this is a dedup key, not a display form)."""
     u = F.trim(F.lower(F.col(col) if isinstance(col, str) else col))
     u = F.regexp_replace(u, "#.*", "")
     u = F.regexp_replace(u, "^http://", "https://")
-    u = F.regexp_replace(u, TRACKING_PARAM_RE + "=[^&]*&", "")
-    u = F.regexp_replace(u, "[?&]" + TRACKING_PARAM_RE + "=[^&]*$", "")
+    # a run of tracking params followed by a kept param: keep the separator
+    u = F.regexp_replace(u, "([?&])(" + TRACKING_PARAM_RE + "=[^&]*&)+", "$1")
+    # a trailing run of tracking params: drop separator and run together
+    u = F.regexp_replace(
+        u,
+        "[?&]" + TRACKING_PARAM_RE + "=[^&]*(&" + TRACKING_PARAM_RE + "=[^&]*)*$",
+        "",
+    )
     u = F.regexp_replace(u, "[?]$", "")
+    u = F.replace(u, F.lit("/?"), F.lit("?"))
     u = F.replace(u, F.lit(":443/"), F.lit("/"))
+    u = F.replace(u, F.lit(":443?"), F.lit("?"))
     u = F.regexp_replace(u, ":443$", "")
     u = F.regexp_replace(u, "^https://www[.]", "https://")
     u = F.regexp_replace(u, "/$", "")

@@ -164,9 +164,17 @@ def score_queries(corpus: TokenizedCorpus, queries, mode: str = "all") -> DataFr
     shared by many queries fans out map-side after the broadcast join —
     the score-fold reducer keys stay (query_id, doc_id), never skewed."""
     rows = []
+    seen_qids = set()
     for qid, q in queries:
+        qid = int(qid)
+        if qid in seen_qids:
+            raise ValueError(
+                f"duplicate query_id {qid}: each (query_id, text) must be "
+                "unique — a repeated id would double-count shared terms"
+            )
+        seen_qids.add(qid)
         for t in sorted(set(tokenize_text(q))):
-            rows.append((int(qid), t))
+            rows.append((qid, t))
     spark = corpus.tf.sparkSession
     if not rows:
         return spark.createDataFrame([], "query_id long, doc_id long, score double")

@@ -77,6 +77,21 @@ def ranked(result: SearchResult, k: int | None = None) -> DataFrame:
     return global_ranked(result)
 
 
+def ranked_per(result: DataFrame, k: int, per: str = "query_id") -> DataFrame:
+    """Per-group top-k rank under the SAME convention as `ranked()` —
+    0-based row_number over (score desc, doc_id asc) — partitioned by `per`.
+
+    This is the single owner of the rank contract for MULTI-query relations
+    (the eval harness); keeping it next to `ranked()` means a tie-break or
+    base change lands in both paths at once. Scale shape: the window is
+    partitioned by `per`, so each group ranks independently (hash-uniform,
+    no single-partition funnel); rows beyond rank k-1 are dropped."""
+    w = Window.partitionBy(per).orderBy(F.desc("score"), F.asc("doc_id"))
+    return result.withColumn("rank", F.row_number().over(w) - 1).filter(
+        F.col("rank") < k
+    )
+
+
 MAX_PAGE_END = 1000    # reference /root/reference/api/routes.py:1216 (le=1000)
 MAX_PAGE_START = 980   # reference routes.py:1215 (le=980)
 

@@ -686,3 +686,39 @@ def test_winnow_pairs_finds_planted_dup(spark):
     )
     out = winnow_pairs(docs, k=4, w=4, min_shared=2).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in out] == [(0, 1)]
+
+
+def test_rebalance_guard_is_row_group_aware(spark, tmp_path):
+    """The rebalance guard must judge EFFECTIVE row-carrying tasks, not the
+    planner's byte-range splits: a fat single-row-group file byte-splits
+    into many planned FilePartitions of which exactly one carries rows, so
+    the guard must still repartition; a many-row-group file already spreads
+    rows and must pass through untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from wise_spark.pipeline.text import (
+        _effective_scan_parallelism,
+        rebalance_narrow_scan,
+    )
+
+    tbl = pa.table(
+        {"doc_id": list(range(20000)), "text": ["word " * 40] * 20000}
+    )
+    fat = str(tmp_path / "fat.parquet")
+    pq.write_table(tbl, fat, row_group_size=1 << 30)        # ONE row group
+    healthy = str(tmp_path / "healthy.parquet")
+    pq.write_table(tbl, healthy, row_group_size=100)        # ~200 row groups
+
+    fat_df = spark.read.parquet(fat)
+    assert _effective_scan_parallelism(fat_df, planned=32) == 1
+    target = spark.sparkContext.defaultParallelism
+    assert rebalance_narrow_scan(fat_df).rdd.getNumPartitions() == target
+
+    healthy_df = spark.read.parquet(healthy)
+    eff = _effective_scan_parallelism(
+        healthy_df, planned=healthy_df.rdd.getNumPartitions()
+    )
+    assert eff == healthy_df.rdd.getNumPartitions()
+    # guard passes a well-spread scan through with NO added exchange
+    if eff * 2 > target:
+        assert rebalance_narrow_scan(healthy_df) is healthy_df

@@ -1665,26 +1665,10 @@ ORDER BY doc_a, doc_b
     || (CASE WHEN doc_id % 6 = 0 THEN '#Sec2' ELSE '' END) AS raw_url
   FROM documents
 """
-    _TRK = "(utm_[a-z0-9_]+|fbclid|gclid)"
-    _canon = "lower(trim(raw_url))"
-    for _pat, _rep, _flag in [
-        ("#.*", "", "g"),
-        ("^http://", "https://", ""),
-        # same patterns as canonicalize_url; RE2 rewrite spells the
-        # backreference \1 where Java spells it $1
-        (f"([?&])({_TRK}=[^&]*&)+", r"\1", "g"),
-        (f"[?&]{_TRK}=[^&]*(&{_TRK}=[^&]*)*$", "", ""),
-        ("[?]$", "", ""),
-    ]:
-        _canon = f"regexp_replace({_canon}, '{_pat}', '{_rep}', '{_flag}')"
-    for _lit, _to in [("/?", "?"), (":443/", "/"), (":443?", "?")]:
-        _canon = f"replace({_canon}, '{_lit}', '{_to}')"
-    for _pat, _rep in [
-        (":443$", ""),
-        ("^https://www[.]", "https://"),
-        ("/$", ""),
-    ]:
-        _canon = f"regexp_replace({_canon}, '{_pat}', '{_rep}', '')"
+    from wise_spark.pipeline.urls import canonicalize_url_duckdb
+
+    # single owner of the Spark<->DuckDB canonicalization contract
+    _canon = canonicalize_url_duckdb("raw_url")
 
     sqls["url_canonical"] = f"""
 WITH raw AS ({_RAW_URL_SQL})

@@ -688,6 +688,51 @@ def test_winnow_pairs_finds_planted_dup(spark):
     assert [(r["doc_a"], r["doc_b"]) for r in out] == [(0, 1)]
 
 
+def test_canonicalize_url_cross_engine_fuzz(spark):
+    """Java-regex (Spark) and RE2 (DuckDB) must canonicalize IDENTICALLY on
+    adversarial URLs — the oracle entry only exercises the fixture's shapes,
+    so this sweeps compositions the fixture never produces: tracker
+    look-alikes, runs of trackers, ports before queries, %-literals,
+    fragments over queries, empty params, uppercase everything."""
+    import itertools
+    import duckdb
+    from wise_spark.pipeline import canonicalize_url
+    from wise_spark.pipeline.urls import canonicalize_url_duckdb
+
+    schemes = ["http://", "https://", "HTTP://"]
+    hosts = ["www.Ex.com", "ex.com", "ex.com:443", "ex.com:8080"]
+    paths = ["", "/", "/a", "/a/", "/a%20b/"]
+    queries = [
+        "", "?", "?id=1", "?utm_a=1", "?utm_a=1&id=2", "?id=1&utm_a=2",
+        "?xutm_b=1&id=7", "?utm_a=1&utm_b=2&id=3", "?id=1&utm_a=2&id2=3",
+        "?fbclid=x&gclid=y", "?utm_=&id=", "?a=:443/&b=1",
+    ]
+    frags = ["", "#f", "#a?utm_x=1"]
+    urls = [
+        s + h + p + q + f
+        for s, h, p, q, f in itertools.product(schemes, hosts, paths, queries, frags)
+    ]
+    got = (
+        spark.createDataFrame([(u,) for u in urls], "raw string")
+        .select("raw", canonicalize_url("raw").alias("c"))
+        .toPandas()
+        .sort_values("raw")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(raw VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in urls])
+    want = con.execute(
+        f"SELECT raw, {canonicalize_url_duckdb('raw')} AS c FROM t ORDER BY raw"
+    ).df()
+    bad = [
+        (r, a, b)
+        for r, a, b in zip(got["raw"], got["c"], want["c"])
+        if a != b
+    ]
+    assert bad == [], bad[:5]
+
+
 def test_rebalance_guard_is_row_group_aware(spark, tmp_path):
     """The rebalance guard must judge EFFECTIVE row-carrying tasks, not the
     planner's byte-range splits: a fat single-row-group file byte-splits

@@ -64,6 +64,32 @@ def canonicalize_url(col: Column | str) -> Column:
     return u
 
 
+def canonicalize_url_duckdb(expr: str) -> str:
+    """The DuckDB-SQL mirror of `canonicalize_url`, rule for rule, so ONE
+    module owns the canonicalization contract for both engines (the driver
+    oracle imports this instead of inlining its own copy). Patterns are
+    identical strings; only the backreference rewrite differs (RE2 \\1 vs
+    Java $1)."""
+    canon = f"lower(trim({expr}))"
+    for pat, rep, flag in [
+        ("#.*", "", "g"),
+        ("^http://", "https://", ""),
+        (f"([?&])({TRACKING_PARAM_RE}=[^&]*&)+", r"\1", "g"),
+        (f"[?&]{TRACKING_PARAM_RE}=[^&]*(&{TRACKING_PARAM_RE}=[^&]*)*$", "", ""),
+        ("[?]$", "", ""),
+    ]:
+        canon = f"regexp_replace({canon}, '{pat}', '{rep}', '{flag}')"
+    for lit, to in [("/?", "?"), (":443/", "/"), (":443?", "?")]:
+        canon = f"replace({canon}, '{lit}', '{to}')"
+    for pat, rep in [
+        (":443$", ""),
+        ("^https://www[.]", "https://"),
+        ("/$", ""),
+    ]:
+        canon = f"regexp_replace({canon}, '{pat}', '{rep}', '')"
+    return canon
+
+
 def url_duplicate_groups(
     docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -153,17 +153,18 @@ def repetition_features(
                               repetition SCORE to threshold on, not a
                               fraction of distinct characters.
 
-    Docs with fewer than n tokens emit NULL features for that n (the LEFT
-    join back to the docs relation preserves the row).
+    Docs with fewer than n tokens emit NULL features for that n (the outer
+    explode preserves the row even when every n is too long).
 
-    Scale: ONE tokenize pass, one explode of (n, gram)-tagged pairs for all
-    requested n at once, groupBy(doc_id, n, gram) -> conditional per-n
-    aggregation in a single groupBy(doc_id), then ONE left join back to the
-    doc spine — instead of a scan + tokenize + join PER n. The per-gram
-    count combines map-side (partial aggregation), and (doc_id, n, gram)
-    keys are near-unique so no reducer ever sees more than one document's
-    grams — boilerplate-heavy corpora skew the GLOBAL gram distribution but
-    not this per-document key space."""
+    Scale: ONE tokenize pass, one explode_outer of (n, gram)-tagged pairs
+    for all requested n at once (outer: a doc too short for every n still
+    emits one null row, so NO spine join is needed to preserve it),
+    groupBy(doc_id, n, gram) -> conditional per-n aggregation in a single
+    groupBy(doc_id) — one scan, two shuffles, zero joins, however many n.
+    The per-gram count combines map-side (partial aggregation), and
+    (doc_id, n, gram) keys are near-unique so no reducer ever sees more
+    than one document's grams — boilerplate-heavy corpora skew the GLOBAL
+    gram distribution but not this per-document key space."""
     docs = rebalance_narrow_scan(docs)
     # pin tokens as a real column: an expression referenced inside a
     # transform lambda is re-evaluated PER ELEMENT (see winnow_fingerprints)
@@ -189,7 +190,7 @@ def repetition_features(
         )
         tagged.append(F.when(F.size(toks) >= n, grams).otherwise(empty))
     g = step.select(
-        "doc_id", "n_chars", F.explode(F.flatten(F.array(*tagged))).alias("p")
+        "doc_id", "n_chars", F.explode_outer(F.flatten(F.array(*tagged))).alias("p")
     ).select("doc_id", "n_chars", F.col("p.n").alias("n"), F.col("p.gram").alias("gram"))
     per = g.groupBy("doc_id", "n_chars", "n", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -207,8 +208,7 @@ def repetition_features(
                 6,
             ).alias(f"top_{n}gram_char_frac")
         )
-    agg = per.groupBy("doc_id").agg(*exprs)
-    return docs.select(F.col(id_col).alias("doc_id")).join(agg, "doc_id", "left")
+    return per.groupBy("doc_id").agg(*exprs)
 
 
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -125,6 +125,40 @@ def test_batch_score_queries_identical_to_per_query(corpus, mode):
         )
 
 
+@pytest.mark.parametrize("mode", ["any", "all"])
+def test_batch_scorer_random_sweep_vs_fts5(corpus, oracles, mode):
+    """100 seeded random queries (1-4 head/tail terms, every 7th salted
+    with an absent term), scored by the BATCH Spark scorer in ONE pass,
+    value-identical to the real SQLite FTS5 engine per query — breadth the
+    fixed reference-query set can't give."""
+    _, fts = oracles
+    if fts is None:
+        pytest.skip("no fts5")
+    from wise_spark.data.corpus import vocab
+    from wise_spark.query.naive import score_queries
+
+    rng = np.random.default_rng(7)
+    words = [w for w in vocab(2000).words if w.isascii()]
+    queries = []
+    for i in range(100):
+        terms = list(rng.choice(words, size=int(rng.integers(1, 5)), replace=False))
+        if i % 7 == 0:
+            terms.append("zzzabsent")
+        queries.append((i, " ".join(terms)))
+
+    batch = score_queries(corpus, queries, mode).toPandas()
+    for qid, q in queries:
+        ref = fts.score_all(q, mode)
+        got = batch[batch["query_id"] == qid].sort_values("doc_id")
+        assert got["doc_id"].tolist() == ref["doc_id"].sort_values().tolist(), (qid, q)
+        np.testing.assert_allclose(
+            got.set_index("doc_id")["score"].sort_index(),
+            ref.set_index("doc_id")["score"].sort_index(),
+            atol=1e-9,
+            err_msg=f"{mode}:{q}",
+        )
+
+
 def test_batch_score_queries_rejects_duplicate_ids(corpus):
     """A repeated query_id would double-count shared terms and corrupt the
     all-mode term-hit threshold — must fail loudly, not silently."""

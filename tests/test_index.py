@@ -64,6 +64,26 @@ def test_topk_rank_identity(index, oracle, mode, method):
         _check(got, want, k, f"{method}/{mode}: {q}")
 
 
+@pytest.mark.parametrize("mode", ["all", "any"])
+def test_wand_random_sweep_rank_identity(index, oracle, mode):
+    """30 seeded random queries (1-4 terms, some salted with an absent
+    term) through the block-max WAND path — rank-identical to the exact
+    oracle beyond the fixed reference-query set."""
+    from wise_spark.data.corpus import vocab
+
+    rng = np.random.default_rng(11)
+    words = vocab(2000).words
+    k = 12
+    for i in range(30):
+        terms = list(rng.choice(words, size=int(rng.integers(1, 5)), replace=False))
+        if i % 6 == 0:
+            terms.append("zzzabsent")
+        q = " ".join(terms)
+        got = index.topk(q, k=k, mode=mode, method="wand").toPandas()
+        want = oracle.score_all(q, mode)
+        _check(got, want, k, f"wand/{mode}: {q}")
+
+
 def test_wand_pruning_still_exact_low_cutoff(index, oracle, monkeypatch):
     """Force the real WAND loop (not the TAAT fallback) and re-check."""
     import wise_spark.index.wand as w

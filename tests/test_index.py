@@ -14,6 +14,7 @@ import shutil
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from wise_spark.data.queries import reference_queries
 from wise_spark.index import FtsIndex, build_index
@@ -185,6 +186,74 @@ def test_resume_rebuilds_on_param_change(spark, corpus_sdf, tmp_path):
     b = idx2.phrase_topk(q, k=10).toPandas()
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
     np.testing.assert_allclose(a["score"], b["score"], atol=0)
+
+
+def test_param_change_wipe_removes_stale_meta(spark, corpus_sdf, tmp_path):
+    """The layout-guard wipe must remove meta.json too: meta.json is the
+    build-complete marker, so a rebuild that crashes mid-stage must NOT
+    leave the OLD marker making FtsIndex.load (and the streaming publisher)
+    treat the half-rebuilt dir as a complete index with stale stats."""
+    import os
+
+    d = str(tmp_path / "idx_stale_meta")
+    build_index(corpus_sdf, d, url_col="url", n_shards=4, n_buckets=4, n_waves=1)
+    assert os.path.exists(os.path.join(d, "meta.json"))
+    # param change triggers the wipe; injected failure = crash mid-rebuild
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(corpus_sdf, d, url_col="url", n_shards=4, n_buckets=4,
+                    n_waves=2, fail_after_waves=0)
+    assert not os.path.exists(os.path.join(d, "meta.json")), (
+        "stale build-complete marker survived the layout wipe"
+    )
+
+
+def test_resume_rebuilds_on_column_binding_change(spark, corpus_sdf, tmp_path):
+    """Column bindings are part of the checkpoint identity: a tokens
+    checkpoint baked from one text column resumed with another must rebuild
+    — the old guard silently reused the wrong column's tokens."""
+    d = str(tmp_path / "idx_cols")
+    m1 = build_index(corpus_sdf, d, url_col="url", n_shards=4, n_buckets=4,
+                     n_waves=1)
+    docs2 = corpus_sdf.withColumn("brief", F.substring("text", 1, 30))
+    m2 = build_index(docs2, d, url_col="url", text_col="brief", n_shards=4,
+                     n_buckets=4, n_waves=1, resume=True)
+    assert m2.total_tokens < m1.total_tokens, (
+        "resume reused tokens baked from the OLD text column"
+    )
+
+
+def test_torn_layout_marker_rebuilds_not_bricks(spark, corpus_sdf, tmp_path):
+    """A truncated layout.json (crash mid-write on older versions) must be
+    treated as 'no marker' — rebuild — not raise JSONDecodeError forever."""
+    import os
+
+    d = str(tmp_path / "idx_torn")
+    build_index(corpus_sdf, d, url_col="url", n_shards=4, n_buckets=4, n_waves=1)
+    with open(os.path.join(d, "layout.json"), "w") as f:
+        f.write('{"layout": 3, "par')  # torn mid-write
+    meta = build_index(corpus_sdf, d, url_col="url", n_shards=4, n_buckets=4,
+                       n_waves=1)
+    idx = FtsIndex(spark, d, meta)
+    assert idx.topk(QUERIES[0], k=5, mode="any").count() > 0
+
+
+def test_load_rejects_foreign_bm25_params(spark, corpus_sdf, tmp_path):
+    """meta.k1/b are validated against the engine constants — an index
+    claiming different BM25 parameters must refuse to load rather than
+    silently score with the defaults."""
+    import json as _json
+    import os
+
+    d = str(tmp_path / "idx_k1b")
+    build_index(corpus_sdf, d, url_col="url", n_shards=4, n_buckets=4, n_waves=1)
+    mp = os.path.join(d, "meta.json")
+    with open(mp) as f:
+        m = _json.load(f)
+    m["k1"] = 2.0
+    with open(mp, "w") as f:
+        _json.dump(m, f)
+    with pytest.raises(ValueError, match="k1"):
+        FtsIndex.load(spark, d)
 
 
 def test_hydrate_joins_back_urls(index):

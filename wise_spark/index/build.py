@@ -149,8 +149,14 @@ class IndexMeta:
     extras: dict = field(default_factory=dict)
 
     def save(self, index_dir: str) -> None:
-        with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        # meta.json is the build-complete marker (FtsIndex.load and the
+        # streaming publisher key on its existence) — tmp+rename so a crash
+        # mid-write can never leave a torn marker on a complete index
+        path = os.path.join(index_dir, "meta.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(asdict(self), f, indent=1)
+        os.replace(tmp, path)
 
     @classmethod
     def load(cls, index_dir: str) -> "IndexMeta":
@@ -725,20 +731,33 @@ def build_index(
     # claiming capabilities/shape the baked data lacks)
     import shutil as _shutil
 
+    # column bindings are part of the checkpoint identity: a tokens
+    # checkpoint baked from text_col="body" resumed with text_col="title"
+    # would silently build the whole index from the wrong column
     build_params = {"n_shards": n_shards, "n_buckets": n_buckets,
                     "n_waves": n_waves,
-                    "with_positions": bool(with_positions)}
+                    "with_positions": bool(with_positions),
+                    "id_col": id_col, "text_col": text_col,
+                    "url_col": url_col}
     layout_path = os.path.join(index_dir, "layout.json")
     found_ver, found_params = None, None
     if os.path.exists(layout_path):
-        with open(layout_path) as f:
-            _marker = json.load(f)
-        found_ver = _marker.get("layout")
-        found_params = _marker.get("params")
+        try:
+            with open(layout_path) as f:
+                _marker = json.load(f)
+            found_ver = _marker.get("layout")
+            found_params = _marker.get("params")
+        except (ValueError, OSError):
+            pass  # torn/unreadable marker == no marker: rebuild, don't brick
     if found_ver != LAYOUT_VERSION or found_params != build_params:
         stale = [
             p for p in (tokens_path, doc_map_path, segments_path, terms_path,
-                        os.path.join(index_dir, "lineage"))
+                        os.path.join(index_dir, "lineage"),
+                        # meta.json is the build-complete marker: leaving a
+                        # stale one would let FtsIndex.load (and the
+                        # streaming publisher) treat a half-rebuilt dir as
+                        # a complete index with the OLD stats
+                        os.path.join(index_dir, "meta.json"))
             if os.path.exists(p)
         ]
         if stale:
@@ -754,11 +773,21 @@ def build_index(
                 build_params, [os.path.basename(p) for p in stale],
             )
         for p in stale:
-            _shutil.rmtree(p, ignore_errors=True)
+            if os.path.isdir(p):
+                _shutil.rmtree(p, ignore_errors=True)
+            else:  # rmtree raises (and ignores) on plain files like meta.json
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
         # write the marker only AFTER the cleanup succeeded, so a crash
-        # mid-wipe re-enters this branch instead of resuming over debris
-        with open(layout_path, "w") as f:
+        # mid-wipe re-enters this branch instead of resuming over debris;
+        # tmp+rename so a crash MID-WRITE can never leave a torn JSON that
+        # bricks every later load of this dir
+        _tmp = layout_path + ".tmp"
+        with open(_tmp, "w") as f:
             json.dump({"layout": LAYOUT_VERSION, "params": build_params}, f)
+        os.replace(_tmp, layout_path)
 
     # ---- Stage A: tokenize ONCE -> flat tf rows, partitioned by wave --------
     # No shuffle: the flat mapInPandas kernel emits final rows and each map

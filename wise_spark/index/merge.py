@@ -45,17 +45,27 @@ def _remerge_fn(avgdl: float, with_positions: bool = False):
         pdf = pdf.sort_values(["shard", "term"], kind="mergesort", ignore_index=True)
         shard = pdf["shard"].to_numpy(np.int32)
         terms = pdf["term"].to_numpy()
+        # pull binary columns to object arrays ONCE: pdf.iloc[j] builds a
+        # fresh Series per row — O(total rows) interpreted materialization,
+        # the exact per-row-pandas anti-pattern the build-side merge kernel
+        # vectorized away
+        docids_a = pdf["docids"].to_numpy(object)
+        tfs_a = pdf["tfs"].to_numpy(object)
+        dls_a = pdf["doclens"].to_numpy(object)
+        pos_a = pdf["positions"].to_numpy(object) if with_positions else None
         g_starts, g_ends = _group_bounds(shard, terms)
         ids_parts, tfs_parts, dls_parts, pos_parts, lens = [], [], [], [], []
         for s, e in zip(g_starts, g_ends):
             ids_l, tfs_l, dls_l, pos_l = [], [], [], []
             for j in range(s, e):
-                ids_j, tfs_j, dls_j = decode_postings(pdf.iloc[j])
+                ids_j, tfs_j, dls_j = decode_postings(
+                    {"docids": docids_a[j], "tfs": tfs_a[j], "doclens": dls_a[j]}
+                )
                 ids_l.append(ids_j)
                 tfs_l.append(tfs_j)
                 dls_l.append(dls_j)
                 if with_positions:
-                    pos_l.append(decode_positions(bytes(pdf["positions"].iat[j]), tfs_j))
+                    pos_l.append(decode_positions(bytes(pos_a[j]), tfs_j))
             ids = np.concatenate(ids_l)
             tfs = np.concatenate(tfs_l)
             dls = np.concatenate(dls_l)

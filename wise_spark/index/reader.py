@@ -77,6 +77,25 @@ class FtsIndex:
         self._terms = spark.read.parquet(os.path.join(index_dir, "terms"))
         self._df_cache: dict[str, int] | None = None
         self._cached_by_shard = False
+        # per-query scoring parallelism: enough tasks to spread shards, few
+        # enough that task/python-worker overhead stays off the latency
+        # path; computed ONCE — the serving cache repartition below must
+        # use the same count or cached partitioning and query planning
+        # silently diverge
+        self._query_partitions = max(
+            2, min(meta.n_shards, spark.sparkContext.defaultParallelism)
+        )
+        # every scoring kernel uses the engine-wide FTS5 constants
+        # (query/bm25.py K1/B) — refuse an index whose metadata claims
+        # different parameters rather than silently scoring with defaults
+        from .. import B, K1
+
+        if (meta.k1, meta.b) != (K1, B):
+            raise ValueError(
+                f"index meta claims k1={meta.k1}, b={meta.b} but this engine "
+                f"scores with the FTS5 constants k1={K1}, b={B}; rebuild the "
+                "index metadata or change wise_spark.K1/B"
+            )
         if cache:
             # serving mode: pin segments in executor memory (the reference
             # copies its hot index to :memory: the same way,
@@ -95,9 +114,8 @@ class FtsIndex:
                 # partitions: the in-memory columnar batches keep min/max
                 # stats per batch, so the term filter prunes cached batches
                 # instead of scanning them all
-                p = max(2, min(meta.n_shards, spark.sparkContext.defaultParallelism))
                 self._segments = (
-                    self._segments.repartition(p, "shard")
+                    self._segments.repartition(self._query_partitions, "shard")
                     .sortWithinPartitions("term")
                     .cache()
                 )
@@ -105,9 +123,6 @@ class FtsIndex:
             n_terms, _ = _parquet_footer_stats(os.path.join(index_dir, "terms"))
             if n_terms <= DF_CACHE_MAX_TERMS:
                 self._df_cache = self._load_df_stats(index_dir)
-        # per-query scoring parallelism: enough tasks to spread shards, few
-        # enough that task/python-worker overhead stays off the latency path
-        self._query_partitions = max(2, min(meta.n_shards, spark.sparkContext.defaultParallelism))
 
     @classmethod
     def load(cls, spark: SparkSession, index_dir: str, cache: bool = False) -> "FtsIndex":
@@ -147,11 +162,12 @@ class FtsIndex:
 
     # -- scoring -------------------------------------------------------------
 
-    # scoring reads only these columns — positions are pruned from the scan
-    # unless a phrase query asks for them
+    # scoring reads only these columns — positions (phrase-only) and sum_tf
+    # (collection-frequency metadata, consumed by merge/stats paths, never
+    # by a scoring kernel) are pruned from the per-query scan
     _SCORE_COLS = [
         "term", "shard", "n", "docids", "tfs", "doclens",
-        "blk_last", "blk_max", "max_tfc", "sum_tf",
+        "blk_last", "blk_max", "max_tfc",
     ]
 
     def _matched_segments(self, terms: list[str], with_positions: bool = False) -> DataFrame:
@@ -366,7 +382,12 @@ class FtsIndex:
         forcing it through a broadcast would collect it to the driver."""
         rows = results.limit(self.HYDRATE_ISIN_MAX + 1).collect()
         if len(rows) > self.HYDRATE_ISIN_MAX:
-            return self.doc_map().join(results, "doc_id", "inner")
+            # pin the over-cap relation so the join (and every later action
+            # on the hydrated result) reads the materialized rows instead of
+            # re-running the whole scoring plan per action
+            return self.doc_map().join(
+                results.localCheckpoint(eager=True), "doc_id", "inner"
+            )
         local = self.spark.createDataFrame(rows, results.schema)
         ids = [r["doc_id"] for r in rows]
         pred = F.col("doc_id").isin(ids) if ids else F.lit(False)

@@ -688,6 +688,73 @@ def test_winnow_pairs_finds_planted_dup(spark):
     assert [(r["doc_a"], r["doc_b"]) for r in out] == [(0, 1)]
 
 
+def test_zero_norm_embedding_does_not_crash_cosine(spark):
+    """Failed/padded extractions produce all-zero vectors; under Spark 4's
+    default ANSI mode the unguarded divide used to kill the whole job."""
+    from wise_spark.pipeline import cosine_topk
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.6, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter("vec_id = 1")
+    out = cosine_topk(emb, q, k=5).toPandas()
+    got = dict(zip(out["vec_id"], out["cosine"]))
+    assert got[0] == 0.0          # zero vector scores 0, never crashes
+    assert abs(got[2] - 0.6) < 1e-6
+
+
+def test_empty_doc_does_not_crash_text_features(spark):
+    """Empty / punctuation-only docs are routine at crawl scale: quality
+    and langid must emit NULL ratios ('unknown' lang), not an ANSI
+    divide-by-zero job failure."""
+    from wise_spark.pipeline import lang_guess, quality_features
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "!!! ???"), (2, "the cat sat")],
+        "doc_id long, text string",
+    )
+    qf = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert qf[0]["type_token_ratio"] is None
+    assert qf[1]["stopword_ratio"] is None
+    assert qf[2]["n_tokens"] == 3
+    lg = {r["doc_id"]: r for r in lang_guess(docs).collect()}
+    assert lg[0]["lang_guess"] == "unknown"
+    assert lg[1]["en_stopword_ratio"] is None
+
+
+def test_overlap_join_with_shared_column_names(spark):
+    """The natural input shape: both sides are segment tables with the SAME
+    start/end column names — used to die with AMBIGUOUS_REFERENCE; now b's
+    colliding columns come back b_-prefixed."""
+    from wise_spark.pipeline import overlap_join
+
+    a = spark.createDataFrame(
+        [("k1", 0.0, 10.0), ("k1", 100.0, 110.0)],
+        "key string, start_s double, end_s double",
+    )
+    b = spark.createDataFrame(
+        [("k1", 5.0, 7.0), ("k1", 500.0, 600.0)],
+        "key string, start_s double, end_s double",
+    )
+    out = overlap_join(a, b, "key", "start_s", "end_s", "start_s", "end_s").toPandas()
+    assert len(out) == 1
+    assert out.iloc[0]["start_s"] == 0.0 and out.iloc[0]["b_start_s"] == 5.0
+
+
+def test_naive_scorer_rejects_non_integral_ids(spark):
+    """String ids used to ANSI-crash mid-job (or silently merge every doc
+    into one NULL row with ANSI off) — must fail loudly up front."""
+    from wise_spark.query.naive import TokenizedCorpus
+
+    docs = spark.createDataFrame(
+        [("doc-a", "spark merge"), ("doc-b", "hash join")],
+        "doc_id string, text string",
+    )
+    with pytest.raises(TypeError, match="integral id column"):
+        TokenizedCorpus.build(docs)
+
+
 def test_canonicalize_url_cross_engine_fuzz(spark):
     """Java-regex (Spark) and RE2 (DuckDB) must canonicalize IDENTICALLY on
     adversarial URLs — the oracle entry only exercises the fixture's shapes,

@@ -47,10 +47,14 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
+    # the short-doc filter sits STRUCTURALLY before the explode: for a doc
+    # with < n tokens, sequence counts down through -1 and slice(toks, 0, n)
+    # raises under ANSI — correctness must not depend on Catalyst choosing
+    # to push the predicate below the Generate
     return (
         rebalance_narrow_scan(docs)
-        .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
         .where(F.size(toks) >= n)
+        .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
     )
 
 

@@ -107,6 +107,18 @@ def tolerance_merge(
     )
 
 
+def _interval_buckets(start: str, end: str, bucket_seconds: float):
+    """Fixed time buckets an interval covers: floor(start/bs)..floor(end/bs)
+    inclusive — the bucketing contract shared by overlap_join and
+    overlap_antijoin (one owner: any fix to bucket semantics reaches both)."""
+    return F.explode(
+        F.sequence(
+            F.floor(F.col(start) / bucket_seconds).cast("long"),
+            F.floor(F.col(end) / bucket_seconds).cast("long"),
+        )
+    )
+
+
 def overlap_antijoin(
     a: DataFrame,
     b: DataFrame,
@@ -132,23 +144,14 @@ def overlap_antijoin(
     any true overlap shares at least one bucket, so the result is exact.
     """
     bs = float(bucket_seconds)
-
-    def buckets(start: str, end: str):
-        return F.explode(
-            F.sequence(
-                F.floor(F.col(start) / bs).cast("long"),
-                F.floor(F.col(end) / bs).cast("long"),
-            )
-        )
-
     ab = a.select(
         F.col(key_col).alias("_k"), F.col(a_id_col).alias("_aid"),
         F.col(a_start).alias("_as"), F.col(a_end).alias("_ae"),
-    ).withColumn("_bkt", buckets("_as", "_ae"))
+    ).withColumn("_bkt", _interval_buckets("_as", "_ae", bs))
     bb = b.select(
         F.col(key_col).alias("_k"),
         F.col(b_start).alias("_bs"), F.col(b_end).alias("_be"),
-    ).withColumn("_bkt", buckets("_bs", "_be"))
+    ).withColumn("_bkt", _interval_buckets("_bs", "_be", bs))
     matched = (
         ab.join(bb, ["_k", "_bkt"])
         .where((F.col("_as") <= F.col("_be")) & (F.col("_bs") <= F.col("_ae")))
@@ -178,24 +181,36 @@ def overlap_join(
     buckets, the join is an EQUI-join on (key, bucket), the exact overlap
     predicate filters candidates, and duplicate bucket matches collapse with
     one distinct. Never a per-key cross product.
+
+    The two sides may share column names (the natural shape: both are
+    segment tables with start/end columns) — every b column whose name
+    collides with an a column is prefixed `b_` in the output, so the join
+    never hits AMBIGUOUS_REFERENCE and both sides' values survive.
     """
     bs = float(bucket_seconds)
-
-    def buckets(start: str, end: str):
-        return F.explode(
-            F.sequence(
-                F.floor(F.col(start) / bs).cast("long"),
-                F.floor(F.col(end) / bs).cast("long"),
-            )
-        )
-
-    ab = a.withColumn("_bkt_a", buckets(a_start, a_end))
-    bb = b.withColumnRenamed(key_col, "_k").withColumn(
-        "_bkt_b", buckets(b_start, b_end)
-    )
+    a_cols = set(a.columns)
+    bb = b.withColumnRenamed(key_col, "_k")
+    b_start_eff, b_end_eff = b_start, b_end
+    for c in b.columns:
+        if c != key_col and c in a_cols:
+            if f"b_{c}" in a_cols or f"b_{c}" in b.columns:
+                raise ValueError(
+                    f"cannot disambiguate shared column {c!r}: 'b_{c}' "
+                    "already exists"
+                )
+            bb = bb.withColumnRenamed(c, f"b_{c}")
+            if c == b_start:
+                b_start_eff = f"b_{c}"
+            if c == b_end:
+                b_end_eff = f"b_{c}"
+    ab = a.withColumn("_bkt_a", _interval_buckets(a_start, a_end, bs))
+    bb = bb.withColumn("_bkt_b", _interval_buckets(b_start_eff, b_end_eff, bs))
     return (
         ab.join(bb, (F.col(key_col) == F.col("_k")) & (F.col("_bkt_a") == F.col("_bkt_b")))
-        .where((F.col(a_start) <= F.col(b_end)) & (F.col(b_start) <= F.col(a_end)))
+        .where(
+            (F.col(a_start) <= F.col(b_end_eff))
+            & (F.col(b_start_eff) <= F.col(a_end))
+        )
         .drop("_bkt_a", "_bkt_b", "_k")
         .distinct()
     )

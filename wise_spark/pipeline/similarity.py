@@ -68,7 +68,10 @@ def _cosine(a, b):
                       F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+    # zero-norm guard (failed/padded extractions are normal at crawl scale):
+    # under Spark 4's default ANSI mode a bare divide would kill the JOB on
+    # one all-zeros vector; same floor as the exact-GEMM path's np.maximum
+    return dot / F.greatest(na * nb, F.lit(1e-300))
 
 
 def cosine_topk(
@@ -175,16 +178,22 @@ def lsh_cosine_topk(
     join is a broadcast equi-join on the bucket key, then exact rerank."""
     mat = _plane_matrix(items, vec_col, n_planes, n_tables, seed)
     if mat is None:   # empty corpus: no neighbors for any query
+        # query_id types from the QUERIES schema — the two sides may use
+        # different id types, and the empty-edge schema must match the
+        # non-empty result or per-shard unions break only on empty shards
+        q_type = queries.schema[id_col].dataType.simpleString()
         id_type = items.schema[id_col].dataType.simpleString()
         return items.sparkSession.createDataFrame(
-            [], f"query_id {id_type}, vec_id {id_type}, cosine double, rank int")
+            [], f"query_id {q_type}, vec_id {id_type}, cosine double, rank int")
     qb = _sign_buckets(queries, id_col, vec_col, "query_id", mat, n_planes, n_tables)
     ib = _sign_buckets(items, id_col, vec_col, "vec_id", mat, n_planes, n_tables)
     cand = (
         ib.join(F.broadcast(qb), "bucket")
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", "query_id_vec", "vec_id_vec")
-        .distinct()
+        # ids alone determine the row (vectors are functions of the id) —
+        # dedup on them instead of hashing ~KBs of embedding per candidate
+        .dropDuplicates(["query_id", "vec_id"])
     )
     scored = cand.select(
         "query_id",
@@ -460,10 +469,11 @@ def ivf_cosine_topk(
     """
     if centroids is None:
         if items.select(vec_col).first() is None:   # empty corpus: no lists
+            q_type = queries.schema[id_col].dataType.simpleString()
             id_type = items.schema[id_col].dataType.simpleString()
             return items.sparkSession.createDataFrame(
                 [],
-                f"query_id {id_type}, vec_id {id_type}, cosine double, rank int",
+                f"query_id {q_type}, vec_id {id_type}, cosine double, rank int",
             )
         centroids = train_ivf_centroids(items, n_lists, vec_col, seed=seed)
     C = np.asarray(centroids, dtype=np.float64)

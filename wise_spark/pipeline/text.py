@@ -95,34 +95,44 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc quality scoring: length, lexical diversity, stopword ratio,
-    mean token length — the usual web-corpus filters, rounded for stability."""
+    mean token length — the usual web-corpus filters, rounded for stability.
+
+    Zero-token documents (empty or punctuation-only — routine at crawl
+    scale) get NULL ratios: the divisor is NULLIF(n, 0), because under
+    Spark 4's default ANSI mode a bare divide would kill the whole JOB on
+    the first empty doc."""
     toks = _toks(text_col)
     sw = F.array([F.lit(s) for s in STOPWORDS])
     n = F.size(toks)
+    n_safe = F.nullif(n, F.lit(0))
     return rebalance_narrow_scan(docs).select(
         F.col(id_col).alias("doc_id"),
         F.length(text_col).alias("n_chars_obs"),
         n.alias("n_tokens"),
-        F.round(F.size(F.array_distinct(toks)) / n, 6).alias("type_token_ratio"),
+        F.round(F.size(F.array_distinct(toks)) / n_safe, 6).alias("type_token_ratio"),
         F.round(
             F.aggregate(
                 toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
             )
-            / n,
+            / n_safe,
             6,
         ).alias("mean_token_len"),
         F.round(
-            F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n, 6
+            F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n_safe, 6
         ).alias("stopword_ratio"),
     )
 
 
 def lang_guess(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Heuristic language ID: English stopword density threshold (the shape
-    of an n-gram langid pass; deterministic and oracle-expressible)."""
+    of an n-gram langid pass; deterministic and oracle-expressible).
+    Zero-token docs get NULL ratio and lang_guess='unknown' instead of an
+    ANSI divide-by-zero job failure."""
     toks = _toks(text_col)
     sw = F.array([F.lit(s) for s in STOPWORDS])
-    ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)
+    ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.nullif(
+        F.size(toks), F.lit(0)
+    )
     return rebalance_narrow_scan(docs).select(
         F.col(id_col).alias("doc_id"),
         F.round(ratio, 6).alias("en_stopword_ratio"),

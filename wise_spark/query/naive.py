@@ -41,6 +41,19 @@ def _tf_relation(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Keeps ONE null-term row per empty-token doc (explode_outer) so exact
     N/avgdl fall out of the same relation. doclen counts ALL tokens (FTS5
     column-size semantics)."""
+    from pyspark.sql import types as T
+
+    id_type = docs.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        # the bare cast below would ANSI-crash on non-numeric ids (or, with
+        # ANSI off, silently NULL every id and merge all docs into one row)
+        raise TypeError(
+            f"naive scorer requires an integral id column; {id_col!r} is "
+            f"{id_type.simpleString()} — map string ids to longs first (the "
+            "index path encodes doc ids as varbyte longs too)"
+        )
     # single-row-group sources would otherwise run the whole Arrow tokenize
     # kernel on one core (see rebalance_narrow_scan) — no-op on wide scans
     tc = rebalance_narrow_scan(docs).select(

@@ -107,6 +107,8 @@ def stream_build_index(
         # at 0) is stale data, not a replay — it is wiped and rebuilt.
         version = f"v{batch_id:06d}"
         out = os.path.join(index_root, version)
+        swap_foreign = False
+        target = out
         if os.path.exists(os.path.join(out, "meta.json")):
             if _version_run_id(out) == run_id:
                 _set_current(index_root, version)  # replayed batch: built
@@ -117,7 +119,14 @@ def stream_build_index(
                 "stream's batch %d instead of replay-publishing stale data",
                 out, batch_id,
             )
-            shutil.rmtree(out, ignore_errors=True)
+            # CURRENT may still point at this stale-but-consistent dir:
+            # wiping it before the (minutes-long) rebuild would hand every
+            # concurrent reader a deleted directory. Build into a side dir
+            # and swap in two renames — the dangling window shrinks from
+            # the whole rebuild to microseconds.
+            swap_foreign = True
+            target = out + ".rebuild"
+            shutil.rmtree(target, ignore_errors=True)
         cur = current_index_dir(index_root)
         # never extend from a version another incarnation built: its content
         # does not correspond to this stream's file offsets, so extending
@@ -126,17 +135,23 @@ def stream_build_index(
             cur = None
         if cur is None:
             build_index(
-                batch, out, id_col=id_col, text_col=text_col, url_col=url_col,
+                batch, target, id_col=id_col, text_col=text_col, url_col=url_col,
                 n_shards=n_shards, n_buckets=n_buckets, n_waves=1,
                 with_positions=with_positions,
             )
         else:
             extend_index(
-                spark, cur, batch, out,
+                spark, cur, batch, target,
                 id_col=id_col, text_col=text_col, url_col=url_col,
             )
-        with open(os.path.join(out, "stream_run_id"), "w") as f:
+        with open(os.path.join(target, "stream_run_id"), "w") as f:
             f.write(run_id)
+        if swap_foreign:
+            stale = out + ".stale"
+            shutil.rmtree(stale, ignore_errors=True)
+            os.rename(out, stale)
+            os.rename(target, out)
+            shutil.rmtree(stale, ignore_errors=True)
         _set_current(index_root, version)
 
     reader = (

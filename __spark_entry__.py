@@ -88,12 +88,35 @@ def _bm25_score_cte(terms: list[str], cte_name: str) -> str:
 _FT_CORPUS_CACHE: dict = {}
 
 
+def _src_fingerprint(sf_dir: str) -> str:
+    """Data fingerprint for documents.parquet at sf_dir: file names + sizes
+    + mtimes (no data read). Cache keys must cover the DATA, not just the
+    path — regenerated parquet at the same path must invalidate."""
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    parts = [os.path.abspath(sf_dir)]
+    if os.path.isdir(src):
+        for fn in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, fn))
+            parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
 def _ft_corpus(spark: SparkSession, sf_dir: str):
-    """One cached TokenizedCorpus per (session, sf_dir): every ft_* entry
-    shares a single tokenize pass instead of re-tokenizing the corpus."""
+    """One cached TokenizedCorpus per (session, DATA): every ft_* entry
+    shares a single tokenize pass instead of re-tokenizing the corpus. The
+    key carries the source fingerprint — a path-only key would keep scoring
+    against a stale cached corpus after the parquet is regenerated (the
+    same trap _get_index's fingerprint closes for the index cache)."""
     from wise_spark.query.naive import TokenizedCorpus
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        _src_fingerprint(sf_dir),
+    )
     if key not in _FT_CORPUS_CACHE:
         docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
         _FT_CORPUS_CACHE[key] = TokenizedCorpus.build(docs, cache=True)
@@ -124,16 +147,7 @@ def _get_index(spark: SparkSession, sf_dir: str):
     # DuckDB oracle read the new one). Fingerprint = source file names +
     # sizes + mtimes — cheap, no data read. Per-user dir so two users on
     # one host don't fight over /tmp ownership.
-    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    parts = [os.path.abspath(sf_dir)]
-    if os.path.isdir(src):
-        for fn in sorted(os.listdir(src)):
-            st = os.stat(os.path.join(src, fn))
-            parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
-    elif os.path.exists(src):
-        st = os.stat(src)
-        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
-    key = hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+    key = _src_fingerprint(sf_dir)
     uid = getattr(os, "getuid", lambda: 0)()
     d = os.path.join(tempfile.gettempdir(), f"wise_idx_v3_{uid}_{key}")
     if not os.path.exists(os.path.join(d, "meta.json")):

@@ -25,6 +25,14 @@ def test_parse_value_runs_until_next_dashdash():
     assert spec["topk"] == ["3"]
 
 
+def test_parse_scalar_strips_quotes_for_blocklist():
+    """A quoted --not-query "secret term" must parse WITHOUT the quotes —
+    the quoted form used to evade the blocklist comparison while the
+    tokenizer ran the blocked query anyway."""
+    spec = parse_console_input('--query foo --not-query "secret term"')
+    assert spec["not_query"] == "secret term"
+
+
 def test_parse_trailing_bare_flag_and_dash_mapping():
     # trailing '--flag' with no value -> '' ; '-' in names maps to '_'
     assert parse_console_input("--save-to-file") == {"save_to_file": ""}

@@ -52,6 +52,19 @@ def test_map_and_recall(spark, ranked_results, truth):
     assert rec[2] == 0.0
 
 
+def test_duplicate_truth_pairs_do_not_corrupt_metrics(spark, ranked_results, truth):
+    """truth is a SET: a duplicated (query_id, doc_id) pair (e.g. from a
+    non-distinct relevance join) used to fan out the join and double-count
+    n_rel, silently inflating/deflating every metric."""
+    dup = truth.union(truth.limit(2))  # duplicate (0,1) and (0,3)
+    want = {r["query_id"]: r["ap"] for r in average_precision(ranked_results, truth).collect()}
+    got = {r["query_id"]: r["ap"] for r in average_precision(ranked_results, dup).collect()}
+    assert got == pytest.approx(want)
+    want_r = {r["query_id"]: r["recall"] for r in recall_at_k(ranked_results, truth, 2).collect()}
+    got_r = {r["query_id"]: r["recall"] for r in recall_at_k(ranked_results, dup, 2).collect()}
+    assert got_r == pytest.approx(want_r)
+
+
 def test_ndcg_hand_computed(spark, ranked_results, truth):
     import math
 

@@ -301,3 +301,24 @@ def test_parquet_media_resolver_point_lookup(spark, tmp_path_factory):
     assert m is not None and m.media_type == "video"
     assert m.path.endswith("files/a.mp4")
     assert resolve(99) is None
+
+
+def test_failing_search_fn_returns_500_not_reset():
+    """An exception inside search_fn (executor lost, Py4J error) must come
+    back as an HTTP 500 on the same keep-alive connection — not a dropped
+    connection with no status line."""
+    import logging
+
+    def boom(query, start, end):
+        raise RuntimeError("spark job failed")
+
+    logging.disable(logging.CRITICAL)
+    try:
+        srv = SearchServer(boom)
+        port = srv.start()
+        code, _, body = get(f"http://127.0.0.1:{port}/search?q=x")
+        assert code == 500
+        assert b"internal server error" in body
+        srv.stop()
+    finally:
+        logging.disable(logging.NOTSET)

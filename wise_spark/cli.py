@@ -37,11 +37,29 @@ def cmd_build(args) -> int:
     spark = get_spark(args.master, "wise_build", args.shuffle_partitions)
     docs = read_corpus(spark, args.input, args.format)
     if args.html_col:
-        res = ingest_html(docs, html_col=args.html_col, url_col=args.id_col)
+        # url-dedup needs a timestamp to pick the newest capture; a corpus
+        # without one should still build (dedup skipped with a note), not
+        # die on UNRESOLVED_COLUMN at the quarantine count
+        dedup = args.ts_col in docs.columns
+        if not dedup:
+            print(
+                f"note: no {args.ts_col!r} column — skipping url dedup "
+                "(pass --ts-col to name the capture-timestamp column)",
+                file=sys.stderr,
+            )
+        res = ingest_html(
+            docs, html_col=args.html_col, url_col=args.id_col,
+            ts_col=args.ts_col, dedup_urls=dedup,
+        )
         n_bad = res.quarantine.count()
         print(f"quarantined rows: {n_bad}", file=sys.stderr)
-        # the source may carry its own text column; the extracted one wins
-        docs = res.docs.drop("text").withColumnRenamed("extracted_text", "text")
+        # the source may carry its own text column; the extracted one wins —
+        # renamed to whatever --text-col names so build_index below indexes
+        # the EXTRACTED text, never a raw source column
+        docs = res.docs
+        if args.text_col in docs.columns:
+            docs = docs.drop(args.text_col)
+        docs = docs.withColumnRenamed("extracted_text", args.text_col)
     meta = build_index(
         docs,
         args.index_dir,
@@ -91,6 +109,11 @@ def cmd_search(args) -> int:
             )
             if args.hydrate:
                 res = ranked(idx.hydrate(res), k=args.topk)
+            if args.export:
+                # pin the (<= topk rows) result: collect() below materializes
+                # the checkpoint and export_csv reuses it instead of
+                # re-running the whole scoring plan a second time
+                res = res.localCheckpoint(eager=False)
             rows = res.collect()
         except BlockedQueryError as e:
             print(f"{qid}: BLOCKED ({e})", file=sys.stderr)
@@ -114,8 +137,8 @@ def parse_console_input(cmd: str) -> dict:
     the engine analog of the reference console parser
     (/root/reference/search.py:608-668 parse_user_input): a value runs
     until the next `--`; list-valued args (`query`, `topk` — the reference
-    also lists media types we don't have) append and are stripped of
-    surrounding spaces and double quotes; scalars are stripped of spaces;
+    also lists media types we don't have) append; every value (list or
+    scalar) is stripped of surrounding spaces and double quotes;
     a trailing bare `--flag` yields ''; `-` in names maps to `_`."""
     out: dict = {}
     i, n = 0, len(cmd)
@@ -134,7 +157,10 @@ def parse_console_input(cmd: str) -> dict:
         if name in CONSOLE_LIST_ARGS:
             out.setdefault(name, []).append(value.strip(' "'))
         else:
-            out[name] = value.strip()
+            # scalars strip quotes too: a quoted --not-query "secret term"
+            # must not evade the blocklist comparison (the tokenizer would
+            # discard the quotes and run the blocked query anyway)
+            out[name] = value.strip(' "')
         name = None
         i = n if nxt == -1 else nxt
     if name is not None:
@@ -267,6 +293,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--text-col", default="text")
     b.add_argument("--url-col", default=None)
     b.add_argument("--html-col", default=None, help="extract text from this binary column first")
+    b.add_argument("--ts-col", default="warc_ts",
+                   help="capture-timestamp column for url dedup (dedup is "
+                        "skipped with a note when the column is absent)")
     b.add_argument("--n-shards", type=int, default=None)
     b.add_argument("--n-waves", type=int, default=4)
     _add_common(b)

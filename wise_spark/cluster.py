@@ -87,6 +87,11 @@ class MiniCluster:
         # cores, or the master can never place an executor on it (e.g.
         # spark.executor.cores=2 on a 1-core worker starves forever)
         self.executor_cores = max(1, executor_cores)
+        # per-worker memory OFFERING (refined in start() for per-CPU
+        # workers): session() validates executor memory against it — an
+        # unplaceable ask hangs forever with zero executors, same failure
+        # mode as the cores guard below
+        self.worker_mem_gb = memory_gb
         self.master_url = f"spark://127.0.0.1:{port}"
         self._procs: list[subprocess.Popen] = []
         self._logs: list = []   # Popen stdout handles, closed in stop()
@@ -153,6 +158,7 @@ class MiniCluster:
             # CPUs outright, like executors on separate cluster nodes
             groups = [cpus[i:i + ec] for i in range(0, len(cpus), ec)]
             per_mem = max(4, self.memory_gb // len(groups))
+            self.worker_mem_gb = per_mem
             wlogs = []
             for i, grp in enumerate(groups):
                 wl = os.path.join(self.work_dir, f"worker{i}.log")
@@ -194,7 +200,7 @@ class MiniCluster:
         return self
 
     def session(self, executor_cores: int | None = None,
-                executor_mem_gb: int = 8,
+                executor_mem_gb: int | None = None,
                 shuffle_partitions: int = 8, app_name: str = "wise_cluster",
                 extra_conf: dict | None = None):
         from pyspark.sql import SparkSession
@@ -212,10 +218,24 @@ class MiniCluster:
                 f"executor_cores={executor_cores} exceeds this cluster's "
                 f"worker size ({self.executor_cores}); no executor can ever "
                 "be placed — pass executor_cores to MiniCluster(...) too")
+        # same unplaceable-ask hang for MEMORY: an executor asking more than
+        # any worker offers registers with zero executors and the first
+        # action waits forever on 'not accepted any resources' warnings
+        if executor_mem_gb is None:
+            executor_mem_gb = min(8, self.worker_mem_gb)
+        elif executor_mem_gb > self.worker_mem_gb:
+            raise ValueError(
+                f"executor_mem_gb={executor_mem_gb} exceeds the per-worker "
+                f"offering ({self.worker_mem_gb}g); no executor can ever be "
+                "placed — raise MiniCluster(memory_gb=...) or lower the ask")
         # getOrCreate silently returns ANY live session, dropping master and
         # every conf below — a pre-existing local session would masquerade
-        # as the cluster and invalidate scaling measurements with no error
+        # as the cluster and invalidate scaling measurements with no error.
+        # getActiveSession is THREAD-LOCAL, so also check the process-wide
+        # default that getOrCreate actually falls back to
         active = SparkSession.getActiveSession()
+        if active is None:
+            active = getattr(SparkSession, "_instantiatedSession", None)
         if active is not None and active.sparkContext.master != self.master_url:
             raise RuntimeError(
                 f"a SparkSession on master={active.sparkContext.master!r} is "

@@ -26,8 +26,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _truth_pairs(truth: DataFrame) -> DataFrame:
+    """`truth` is a SET of relevant pairs — enforce it. A duplicate
+    (query_id, doc_id) would fan out the _with_rel join (two k-positions
+    for one retrieved doc) and double-count n_rel, silently corrupting
+    every metric; the dedup is one shuffle over a tiny relation."""
+    return truth.select("query_id", "doc_id").dropDuplicates(
+        ["query_id", "doc_id"]
+    )
+
+
+def _n_rel(truth: DataFrame) -> DataFrame:
+    return _truth_pairs(truth).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+
+
 def _with_rel(results: DataFrame, truth: DataFrame) -> DataFrame:
-    t = truth.select("query_id", "doc_id", F.lit(1).alias("rel"))
+    t = _truth_pairs(truth).withColumn("rel", F.lit(1))
     return (
         results.select("query_id", "doc_id", "rank")
         .join(t, ["query_id", "doc_id"], "left")
@@ -38,7 +54,7 @@ def _with_rel(results: DataFrame, truth: DataFrame) -> DataFrame:
 def average_precision(results: DataFrame, truth: DataFrame) -> DataFrame:
     """(query_id, ap, n_rel, n_retrieved_rel). Queries present in `truth`
     but missing from `results` score ap = 0 (never-retrieved)."""
-    n_rel = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    n_rel = _n_rel(truth)
     w = (
         Window.partitionBy("query_id")
         .orderBy("rank")
@@ -85,7 +101,7 @@ def ndcg_at_k(results: DataFrame, truth: DataFrame, k: int) -> DataFrame:
     Queries in `truth` with no retrieved rows score 0. Same plan shape as
     average_precision — one bounded per-query window (<= k rows), equi-joins
     only, no matrices."""
-    n_rel = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    n_rel = _n_rel(truth)
     pos = Window.partitionBy("query_id").orderBy("rank")
     dcg = (
         _with_rel(results, truth)
@@ -114,7 +130,7 @@ def ndcg_at_k(results: DataFrame, truth: DataFrame, k: int) -> DataFrame:
 
 def recall_at_k(results: DataFrame, truth: DataFrame, k: int) -> DataFrame:
     """(query_id, recall) with recall = |retrieved@k ∩ relevant| / |relevant|."""
-    n_rel = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    n_rel = _n_rel(truth)
     pos = Window.partitionBy("query_id").orderBy("rank")
     hits = (
         _with_rel(results, truth)

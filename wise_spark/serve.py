@@ -169,6 +169,7 @@ class _Handler(BaseHTTPRequestHandler):
               body_iter: Iterator[bytes] | None = None,
               content_length: int | None = None) -> None:
         declared = content_length if content_length is not None else len(body)
+        self._responded = True
         self.send_response(code)
         self.send_header("content-type", content_type)
         self.send_header("content-length", str(declared))
@@ -209,12 +210,32 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _route(self, head_only: bool) -> None:
         url = urlparse(self.path)
-        if url.path == "/search":
-            self._handle_search(url)
-        elif url.path.startswith("/media/"):
-            self._handle_media(url, head_only)
-        else:
-            self._plain(404, "not found")
+        self._responded = False
+        try:
+            if url.path == "/search":
+                self._handle_search(url)
+            elif url.path.startswith("/media/"):
+                self._handle_media(url, head_only)
+            else:
+                self._plain(404, "not found")
+        except BrokenPipeError:
+            raise   # client went away mid-response: nothing left to send
+        except Exception:
+            # a failing search_fn/media_resolver (executor lost, index file
+            # deleted, Py4J error) must answer HTTP 500, not abort the
+            # connection with no status line (client sees ECONNRESET)
+            import logging
+
+            logging.getLogger(__name__).exception("request handler failed")
+            if self._responded:
+                # headers already on the wire: a second status line would
+                # desync the keep-alive stream — just drop the connection
+                self.close_connection = True
+            else:
+                try:
+                    self._plain(500, "internal server error")
+                except Exception:
+                    self.close_connection = True
 
     def _handle_search(self, url) -> None:
         qs = parse_qs(url.query)
@@ -268,11 +289,17 @@ class _Handler(BaseHTTPRequestHandler):
             return
         file_size = os.path.getsize(meta.path)
         if meta.media_type not in _STREAMED_TYPES:
-            # image: whole-file response (reference FileResponse)
+            # image: whole-file response (reference FileResponse). Declare
+            # content-length from the bytes actually read, not the earlier
+            # stat — a file truncated/replaced between the two would desync
+            # the keep-alive stream (the streamed path guards the same way)
+            if head_only:   # no body to desync: the stat size is fine
+                self._send(200, b"", meta.content_type, head_only=True,
+                           content_length=file_size)
+                return
             with open(meta.path, "rb") as f:
-                body = b"" if head_only else f.read()
-            self._send(200, body, meta.content_type, head_only=head_only,
-                       content_length=file_size)
+                body = f.read()
+            self._send(200, body, meta.content_type, content_length=len(body))
             return
         headers = {
             "accept-ranges": "bytes",

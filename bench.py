@@ -34,6 +34,7 @@ sample with clean pairs.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import statistics
@@ -100,7 +101,7 @@ def _mem_probe() -> float:
 
 
 def _box_steal_sample(window_s: float = 5.0, loaded: bool = True,
-                      load_cpus: str = "4-11") -> float:
+                      load_cpus: str | None = None) -> float:
     """Steal%% over a short window (/proc/stat col 8), measured over the
     worker CPUs WHILE pinned spinner processes keep them busy.
 
@@ -115,6 +116,17 @@ def _box_steal_sample(window_s: float = 5.0, loaded: bool = True,
     unavailable."""
     import subprocess
 
+    if load_cpus is None:
+        # span the CPUs the WIDEST configured level will actually run on —
+        # a fixed "4-11" default loads the wrong set for 4,16 pairs (half
+        # the worker CPUs unloaded read ~0% steal on an oversubscribed
+        # host) and spins untested CPUs for the default 1,4 pair
+        try:
+            levels = [int(c) for c in os.environ.get(
+                "SPARK_GRAFT_SCALE_CORES", "1,4").split(",")]
+            load_cpus = WORKER_CPUS[max(levels)]
+        except (ValueError, KeyError):
+            load_cpus = "4-11"
     cpus: list[str] = []
     for part in load_cpus.split(","):
         if "-" in part:
@@ -226,17 +238,24 @@ def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
     # query pays (r4 observed: ft_bm25_topk_any 14.5s cold vs 2.4s for the
     # identical-shape next query).
     from pyspark.sql import functions as F
-    spark.range(100_000, numPartitions=cores).mapInPandas(
-        lambda it: it, schema="id long"
-    ).select(F.sum("id")).collect()
-    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(1).count()
+    try:
+        spark.range(100_000, numPartitions=cores).mapInPandas(
+            lambda it: it, schema="id long"
+        ).select(F.sum("id")).collect()
+        spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")).limit(1).count()
+    except Exception as e:  # warmup is best-effort; queries report their own
+        log(f"  headline warmup degraded: {type(e).__name__}: {e}")
     # Pre-build the shared on-disk index untimed: wand/hydrate/phrase
     # entries measure SERVING latency over a built index (the reference's
     # comparison class — its 1.018 s/query is against a loaded faiss
     # index), while index-BUILD throughput is the scaling section's job.
     # Without this, whichever ft_* entry runs first in a fresh container
     # absorbs the whole one-time sf0.1 build (~8-10 s observed r4).
-    E._get_index(spark, sf_dir)
+    try:
+        E._get_index(spark, sf_dir)
+    except Exception as e:  # ft_* entries will surface their own failures
+        log(f"  headline index prebuild degraded: {type(e).__name__}: {e}")
     names = [
         "ft_bm25_topk_any", "ft_bm25_topk_all", "ft_bm25_wand", "ft_not_in",
         "ft_and_merge", "ft_or_merge", "ft_term_df", "ft_phrase",
@@ -254,7 +273,11 @@ def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
         if name not in qs:
             continue
         t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
+        try:
+            n = qs[name](spark, sf_dir).count()
+        except Exception as e:  # one broken query must not sink the suite
+            log(f"  headline {name}: FAILED ({type(e).__name__}: {e})")
+            continue
         out[name] = round(time.time() - t0, 3)
         log(f"  headline {name}: {out[name]}s ({n} rows)")
     spark.stop()
@@ -497,8 +520,12 @@ def scale_worker(cores: int, n_docs: int, k: int = 10) -> None:
                     lat.append(time.time() - t0)
                 res.update({
                     "query_p50_s": round(statistics.median(lat), 3),
+                    # nearest-rank p99: ceil(0.99*n)-th value — int(n*0.99)-1
+                    # silently excluded the single slowest query for any n
+                    # not a multiple of 100 (~p95 at n=20)
                     "query_p99_s": round(
-                        sorted(lat)[max(0, int(len(lat) * 0.99) - 1)], 3),
+                        sorted(lat)[min(len(lat) - 1,
+                                        math.ceil(0.99 * len(lat)) - 1)], 3),
                     "n_queries": len(lat),
                 })
                 # the cached index relations must not stay pinned in
@@ -608,7 +635,13 @@ def _reap_dead_worker(cores: int) -> None:
     from wise_spark.cluster import MiniCluster
 
     MiniCluster.cleanup_stale()
-    shutil.rmtree(f"/dev/shm/wise_bench_local_{cores}", ignore_errors=True)
+    # ALL of the worker's tmpfs residue: shuffle dir AND the partial
+    # index/warm dirs a mid-build kill leaves resident in RAM (they would
+    # otherwise inflate the DRAM probes gating every later pair)
+    for d in (f"/dev/shm/wise_bench_local_{cores}",
+              f"/dev/shm/wise_bench_idx_{cores}",
+              f"/dev/shm/wise_bench_warm_{cores}"):
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def run_scaling(n_docs: int, cores_list: list[int]):
@@ -811,7 +844,14 @@ def run_scaling(n_docs: int, cores_list: list[int]):
         if not runs:
             raise RuntimeError(f"scale worker {cores} failed every attempt")
         med = sorted(runs, key=lambda x: x["docs_per_sec"])[len(runs) // 2]
-        med = {**med, "all_docs_per_sec": [x["docs_per_sec"] for x in runs],
+        # the record is a representative RUN (carries its own telemetry),
+        # but the reported throughput is the TRUE median — the middle-upper
+        # element optimistically biases even-length samples (the same bias
+        # the pair-efficiency median already corrects)
+        med = {**med,
+               "docs_per_sec": round(
+                   statistics.median(x["docs_per_sec"] for x in runs), 1),
+               "all_docs_per_sec": [x["docs_per_sec"] for x in runs],
                "all_steal_pct": [x["steal_pct"] for x in runs],
                "all_probe_s": [x.get("probe_s") for x in runs],
                "best_docs_per_sec": max(x["docs_per_sec"] for x in runs)}
@@ -861,6 +901,8 @@ def write_bench_md(n_docs: int, scaling: dict, effs: dict, effs_best: dict,
         )
     )
     stage_hdr = " | ".join(f"{c} cores (s)" for c in sorted(scaling))
+    # separator width must track the level count (1,4,16 -> 4 columns)
+    stage_sep = "|" + "---|" * (1 + len(scaling))
     md = f"""# BENCH — wise_spark
 
 ## Round-4 result summary (read this first)
@@ -1008,7 +1050,7 @@ Scaling efficiency = (throughput_4N / throughput_N) / 4:
 ## Per-stage build wall (median run)
 
 | stage | {stage_hdr} |
-|---|---|---|
+{stage_sep}
 {stage_rows}
 
 ## Method notes
@@ -1048,9 +1090,19 @@ def definitive_section() -> str:
     contention gate."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_evidence.jsonl")
+    recs = []
     try:
         with open(path) as f:
-            recs = [json.loads(ln) for ln in f if ln.strip()]
+            for ln in f:
+                if not ln.strip():
+                    continue
+                try:
+                    recs.append(json.loads(ln))
+                except ValueError:
+                    # a truncated line (bench killed mid-append) must not
+                    # discard the rest of the history, and must never make
+                    # the NEXT clean run look contended via a raise here
+                    pass
     except OSError:
         recs = []
     rows = []
@@ -1107,10 +1159,17 @@ def history_section() -> str:
     is corroborated by history."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_evidence.jsonl")
+    runs = []
     try:
         with open(path) as f:
-            runs = [json.loads(ln) for ln in f if ln.strip()]
-    except (OSError, ValueError):
+            for ln in f:
+                if not ln.strip():
+                    continue
+                try:
+                    runs.append(json.loads(ln))
+                except ValueError:
+                    pass  # torn line: keep the rest of the history
+    except OSError:
         return ""
     if not runs:
         return ""
@@ -1179,25 +1238,40 @@ def main() -> None:
     hl_passes: list[dict[str, float]] = []
     hl_probes: list[list[float]] = []
     hl_steals: list[float] = []
+    hl_error: str | None = None
     for hl_attempt in range(2):
         p_pre = _mem_probe()
         hs0, ht0 = snap()
-        hl_passes.append(run_headline(sf_dir, cpus))
+        # NEVER let a headline failure kill the bench with no JSON (the r3
+        # failure mode): a crashed pass is logged, flagged, and the run
+        # proceeds to the scaling section with whatever queries completed
+        pass_ok = True
+        try:
+            hl_passes.append(run_headline(sf_dir, cpus))
+        except Exception as e:  # noqa: BLE001 — emit-JSON-at-any-cost path
+            pass_ok = False
+            hl_error = f"{type(e).__name__}: {e}"
+            log(f"  headline pass {hl_attempt} FAILED: {hl_error}")
         hs1, ht1 = snap()
         p_post = _mem_probe()
         hl_steals.append(round(100 * (hs1 - hs0) / max(1, ht1 - ht0), 2))
         hl_probes.append([p_pre, p_post])
         log(f"  headline pass {hl_attempt}: box steal {hl_steals[-1]}%, "
             f"probes {p_pre}/{p_post}s (quiet ref {quiet_ref}s)")
-        clean = (hl_steals[-1] <= 1.0 and min(p_pre, p_post) <= quiet_ref)
+        clean = pass_ok and (
+            hl_steals[-1] <= 1.0 and min(p_pre, p_post) <= quiet_ref
+        )
         if clean or hl_attempt == 1 or _remaining() < 0.7 * _deadline_s():
             break
-        log("  headline window contaminated by probe — one retry after "
+        log("  headline pass failed — one retry after a quiet wait"
+            if not pass_ok else
+            "  headline window contaminated by probe — one retry after "
             "a quiet wait")
         wait_for_quiet("headline-retry")
+    hl_names = sorted({n for p in hl_passes for n in p})
     headline = {
         name: min(p[name] for p in hl_passes if name in p)
-        for name in hl_passes[0]
+        for name in hl_names
     }
     hl_steal = hl_steals[-1] if len(hl_passes) == 1 else hl_steals
     out = {
@@ -1209,6 +1283,7 @@ def main() -> None:
         "headline_steal_pct": hl_steal,
         "headline_probe_s": hl_probes,
         "headline_passes": len(hl_passes),
+        **({"headline_error": hl_error} if hl_error else {}),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "scaling_docs": n_docs,
         "bench_deadline_s": _deadline_s(),

@@ -120,14 +120,18 @@ def doc_tokens(doc_id: int, seed: int = DEFAULT_SEED, vocab_size: int = DEFAULT_
 def _title_tokens(doc_id: int, seed: int, v: _Vocab) -> list[str]:
     pos = (np.uint64(doc_id) << np.uint64(20)) + np.uint64(1 << 19) + np.arange(4, dtype=np.uint64)
     u = _uniform(seed, 3, pos)
-    return [v.words[i] for i in np.searchsorted(v.cdf, u, side="left")]
+    # same clamp as _doc_token_ids: cdf[-1] sits a few ulp below 1.0, so an
+    # unclamped searchsorted can return vocab_size (IndexError)
+    ids = np.minimum(np.searchsorted(v.cdf, u, side="left"), len(v.cdf) - 1)
+    return [v.words[i] for i in ids]
 
 
 def _boiler_tokens(doc_id: int, seed: int, v: _Vocab) -> list[str]:
     # drawn from a different stream; these must NOT appear in extracted text
     pos = (np.uint64(doc_id) << np.uint64(20)) + np.uint64(3 << 18) + np.arange(6, dtype=np.uint64)
     u = _uniform(seed, 4, pos)
-    return [v.words[i] for i in np.searchsorted(v.cdf, u, side="left")]
+    ids = np.minimum(np.searchsorted(v.cdf, u, side="left"), len(v.cdf) - 1)
+    return [v.words[i] for i in ids]
 
 
 def doc_text(doc_id: int, seed: int = DEFAULT_SEED, vocab_size: int = DEFAULT_VOCAB) -> str:

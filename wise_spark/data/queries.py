@@ -25,18 +25,23 @@ def reference_queries(vocab_size: int = DEFAULT_VOCAB, n: int = 60) -> list[tupl
     def rk(frac: float) -> int:  # rank as a fraction of the vocab (head..tail)
         return max(10, min(V - 1, int(frac * V)))
 
+    def wi(rank: int) -> str:
+        # clamp like rk(): the literal ranks (up to 61) and the fill loop's
+        # r (420 at the default n=60) must not IndexError on toy vocabs
+        return w[min(rank, V - 1)]
+
     # single-term: head / mid / tail document-frequency
     for rank in [10, 11, 12, rk(0.005), rk(0.01), rk(0.05), rk(0.1), rk(0.25), rk(0.5), rk(0.8), rk(0.95)]:
-        add(w[rank])
+        add(wi(rank))
     # stopword-dense
     add("the a of and")
-    add("the " + w[40])
+    add("the " + wi(40))
     # multi-term, mixed df
     pairs = [(15, rk(0.15)), (20, rk(0.4)), (30, 31), (12, rk(0.7)), (60, 61), (10, rk(0.9))]
     for a, b in pairs:
-        add(f"{w[a]} {w[b]}")
+        add(f"{wi(a)} {wi(b)}")
     for a, b, c in [(13, rk(0.06), rk(0.3)), (22, rk(0.11), rk(0.45)), (35, rk(0.17), rk(0.6))]:
-        add(f"{w[a]} {w[b]} {w[c]}")
+        add(f"{wi(a)} {wi(b)} {wi(c)}")
     # Unicode / casefold fixtures (corpus pins these at ranks 200/500/900)
     add("müller")
     add("MÜLLER")      # must casefold to the same tokens
@@ -44,12 +49,12 @@ def reference_queries(vocab_size: int = DEFAULT_VOCAB, n: int = 60) -> list[tupl
     add("café")
     # absent from corpus -> empty result
     add("zzzmissingterm")
-    add(w[14] + " zzzmissingterm")
+    add(wi(14) + " zzzmissingterm")
     # fill to n with deterministic mid-range picks (tie coverage comes from
     # the corpus's duplicated-multiset docs appearing in these results)
     r = 17
     while len(qs) < n:
-        add(f"{w[r]} {w[(r * 7) % (V - 20) + 10]}")
+        add(f"{wi(r)} {wi((r * 7) % max(1, V - 20) + 10)}")
         r += 13
     return qs[:n]
 

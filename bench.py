@@ -1298,6 +1298,42 @@ def main() -> None:
     _run_scaling_section(out, n_docs, partial_path, t_all0)
 
 
+def _compact_final(out: dict) -> dict:
+    """Build the ONE JSON line printed to stdout for the driver.
+
+    The driver captures only a ~2 KB tail of stdout; rounds 3 and 4 both
+    shipped a final line in the tens of KB (prior_protocols, per-run raw
+    arrays) and got recorded as ``parsed: null`` despite rc=0. The full
+    record still goes to BENCH_partial.json and BENCH_evidence.jsonl —
+    this function selects the headline + verdict-level fields only and
+    keeps the printed line comfortably under 2 KB.
+    """
+    keep = (
+        "metric", "value", "unit", "queries", "sf",
+        "scaling_docs", "scaling_efficiency", "scaling_efficiency_clean",
+        "scaling_efficiency_pairs", "scaling_efficiency_best",
+        "scaling_build_docs_per_sec", "scaling_query_p50_s",
+        "scaling_query_p99_s", "pairs_completed", "topped_up_pairs",
+        "deadline_hit", "contended", "headline_steal_pct",
+        "headline_passes", "headline_error", "scaling_error",
+        "scaling_efficiency_from_prior_protocol", "scaling_skipped",
+        "elapsed_s", "total_bench_s",
+    )
+    compact = {k: out[k] for k in keep if k in out}
+    # round per-query seconds to keep the line short and readable
+    if isinstance(compact.get("queries"), dict):
+        compact["queries"] = {k: round(v, 3)
+                              for k, v in compact["queries"].items()}
+    line = json.dumps(compact)
+    if len(line) > 6000:  # belt-and-braces: never ship an uncapturable line
+        for k in ("scaling_efficiency_pairs", "scaling_build_docs_per_sec",
+                  "queries"):
+            compact.pop(k, None)
+            if len(json.dumps(compact)) <= 6000:
+                break
+    return compact
+
+
 def _run_scaling_section(out: dict, n_docs: int, partial_path: str,
                          t_all0: float) -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
@@ -1307,7 +1343,7 @@ def _run_scaling_section(out: dict, n_docs: int, partial_path: str,
         log("== scaling SKIPPED (SPARK_GRAFT_SKIP_SCALE) ==")
         out.update({"scaling_skipped": True,
                     "elapsed_s": round(time.time() - t_all0, 1)})
-        print(json.dumps(out))
+        print(json.dumps(_compact_final(out)), flush=True)
         return
     log(f"== scaling: index build over {n_docs} synthetic docs ==")
     try:
@@ -1405,6 +1441,14 @@ def _run_scaling_section(out: dict, n_docs: int, partial_path: str,
                 "pairs_completed": info.get("pairs_completed", len(pairs)),
                 "topped_up_pairs": info.get("topped_up_pairs", 0),
                 "deadline_hit": info.get("deadline_hit", False),
+                # headline evidence rides with every protocol record so
+                # clean-vs-contended per-query claims are machine-checkable
+                # across rounds (r4 verdict: they lived only in BENCH.md prose)
+                "queries": {k: round(v, 3)
+                            for k, v in out.get("queries", {}).items()},
+                "headline_steal_pct": out.get("headline_steal_pct"),
+                "headline_probe_s": out.get("headline_probe_s"),
+                "headline_passes": out.get("headline_passes"),
             }
             with open(evid_path, "a") as f:
                 f.write(json.dumps(record) + "\n")
@@ -1450,9 +1494,11 @@ def _run_scaling_section(out: dict, n_docs: int, partial_path: str,
             log(f"  no prior protocol evidence available: {e2!r}")
 
     out["total_bench_s"] = round(time.time() - t_all0, 2)
+    # full record (incl. prior_protocols + per-run arrays) → BENCH_partial.json;
+    # the stdout line is the compact driver-parseable subset (r4 verdict #1)
     with open(partial_path, "w") as f:
         json.dump(out, f)
-    print(json.dumps(out), flush=True)
+    print(json.dumps(_compact_final(out)), flush=True)
 
 
 if __name__ == "__main__":

@@ -125,3 +125,25 @@ def test_console_blocklist(spark, cli_index_dir, tmp_path, monkeypatch, capsys):
                "--blocklist", str(bl)])
     assert rc == 0
     assert "BLOCKED" in capsys.readouterr().err
+
+
+def test_build_with_text_col_extracted_text(spark, tmp_path, capsys):
+    """--html-col with --text-col extracted_text used to DROP the freshly
+    extracted column (it matched `text_col in docs.columns`) and then
+    no-op-rename it, so build_index failed on a missing column."""
+    src = str(tmp_path / "corpus_parquet")
+    spark.createDataFrame(
+        [(i, f"u{i}", bytearray(f"<html><body>alpha beta gamma doc {i}"
+                                f"</body></html>", "utf8"))
+         for i in range(6)],
+        "doc_id long, url string, html binary",
+    ).write.parquet(src)
+    idx = str(tmp_path / "idx")
+    rc = main([
+        "build", "--input", src, "--index-dir", idx,
+        "--html-col", "html", "--text-col", "extracted_text",
+        "--url-col", "url", "--n-shards", "2", "--n-waves", "1",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built: N=6" in out

@@ -352,13 +352,33 @@ def test_multimodal_plumbing(spark, small_docs):
     assert all(len(v) == 8 for v in feats["feature"])
     # deterministic: identical payloads -> identical features
     assert list(feats.loc[0, "feature"]) == list(feats.loc[1, "feature"])
-    # compressed / unknown magics stay an honest NotImplementedError
-    with pytest.raises(NotImplementedError):
-        _decode_image_bytes(b"\xff\xd8\xff\xe0 fake jpeg")
-    with pytest.raises(NotImplementedError):
-        _decode_image_bytes(b"\x89PNG\r\n\x1a\n fake png")
+    # without PIL, compressed magics stay an honest NotImplementedError
+    # (with PIL installed they decode — covered by the skipif test below)
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            _decode_image_bytes(b"\xff\xd8\xff\xe0 fake jpeg")
+        with pytest.raises(NotImplementedError):
+            _decode_image_bytes(b"\x89PNG\r\n\x1a\n fake png")
     with pytest.raises(NotImplementedError):
         _decode_image_bytes(b"not an image at all")
+
+
+def test_compressed_decode_via_optional_pil():
+    """When PIL is importable the same kernel decodes compressed formats;
+    skipped in containers without it (the NotImplementedError branch is
+    asserted in test_multimodal_plumbing instead)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from wise_spark.pipeline.multimodal import _decode_image_bytes
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (4, 3), (10, 20, 30)).save(buf, format="PNG")
+    a = _decode_image_bytes(buf.getvalue())
+    assert a.shape == (3, 4, 3)
+    assert (a == [10, 20, 30]).all()
 
 
 def test_bmp_ppm_wav_roundtrip():
@@ -834,3 +854,55 @@ def test_rebalance_guard_is_row_group_aware(spark, tmp_path):
     # guard passes a well-spread scan through with NO added exchange
     if eff * 2 > target:
         assert rebalance_narrow_scan(healthy_df) is healthy_df
+
+
+def test_simhash_winnow_hot_bucket_caps(spark):
+    """Degenerate corpus (hundreds of identical boilerplate docs sharing
+    every simhash chunk / winnow fingerprint) must not go quadratic: the
+    df caps drop the hot buckets — and with them every boilerplate-only
+    pair — while a planted pair with its own cold buckets survives."""
+    from wise_spark.pipeline import simhash_pairs, winnow_pairs
+
+    boiler = ("click here to accept all cookies and subscribe to our "
+              "newsletter for daily updates delivered to your inbox")
+    uniq = ("quantum chromodynamics lattice simulation results differ "
+            "slightly between gauge configurations at finite temperature")
+    rows = [(i, boiler) for i in range(300)] + [(1000, uniq), (1001, uniq)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = simhash_pairs(docs, max_hamming=3, max_chunk_df=50).collect()
+    sh_pairs = {(r["doc_a"], r["doc_b"]) for r in sh}
+    assert (1000, 1001) in sh_pairs
+    assert not any(a < 300 for a, _ in sh_pairs), "hot buckets not dropped"
+
+    wn = winnow_pairs(docs, k=4, w=4, min_shared=2, max_fp_df=50).collect()
+    wn_pairs = {(r["doc_a"], r["doc_b"]) for r in wn}
+    assert (1000, 1001) in wn_pairs
+    assert not any(a < 300 for a, _ in wn_pairs), "hot fps not dropped"
+
+    # cap=None keeps the exact quadratic semantics (the oracle-check mode):
+    # boilerplate pairs reappear
+    exact = simhash_pairs(docs.filter("doc_id < 10 or doc_id >= 1000"),
+                          max_hamming=3).collect()
+    assert any(a < 10 and b < 10
+               for a, b in ((r["doc_a"], r["doc_b"]) for r in exact))
+
+
+def test_exact_neardup_duplicate_ids_and_empty_blocks(spark):
+    """Duplicate id values hash to one block; triu(k=1) used to emit them
+    as self-pairs (vec_id_a == vec_id_b), silently changing the strict
+    vec_id_a < vec_id_b contract of the join-based implementation. Two ids
+    over 3 hash blocks also guarantees an EMPTY block, which crashed the
+    kernel with an AxisError in norm(axis=1) before the emptiness guard."""
+    from wise_spark.pipeline.similarity import _exact_neardup_blocked
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [0.0, 1.0]), (1, [0.6, 0.8]),
+         (1, [0.8, 0.6]), (0, [0.5, 0.5]), (1, [0.1, 0.9])],
+        "vec_id long, embedding array<double>",
+    )
+    out = _exact_neardup_blocked(emb, 0.5, "vec_id", "embedding",
+                                 block_size=2).collect()
+    assert out, "cross-id pairs above threshold must survive"
+    assert all(r["vec_id_a"] < r["vec_id_b"] for r in out), \
+        "duplicate ids must never emit self-pairs"

@@ -57,7 +57,9 @@ def cmd_build(args) -> int:
         # renamed to whatever --text-col names so build_index below indexes
         # the EXTRACTED text, never a raw source column
         docs = res.docs
-        if args.text_col in docs.columns:
+        # when --text-col IS 'extracted_text', dropping it would delete the
+        # extraction output itself and the rename below would be a no-op
+        if args.text_col != "extracted_text" and args.text_col in docs.columns:
             docs = docs.drop(args.text_col)
         docs = docs.withColumnRenamed("extracted_text", args.text_col)
     meta = build_index(

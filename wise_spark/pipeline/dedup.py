@@ -230,6 +230,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_chunk_df: int | None = None,
 ) -> DataFrame:
     """EXACT near-dup pairs (doc_a < doc_b, hamming) with SimHash hamming
     distance <= max_hamming, found WITHOUT an all-pairs product.
@@ -241,6 +242,13 @@ def simhash_pairs(
     chunk value: bucket sizes stay tiny for non-degenerate corpora and the
     shuffle is uniform (chunk values are hash-like). This is the standard
     Manku/Jain/Sarma web-dedup layout re-expressed as a DataFrame equi-join.
+
+    `max_chunk_df` caps bucket size exactly like ngram_jaccard_pairs'
+    max_shingle_df: a degenerate corpus (thousands of near-empty docs
+    sharing a chunk value — template boilerplate at crawl scale) makes one
+    bucket quadratic; chunks with df above the cap are dropped from the
+    candidate join with a logged count (pairs agreeing ONLY on dropped
+    chunks are not reported). None = exact semantics (oracle checks).
     """
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
@@ -263,6 +271,26 @@ def simhash_pairs(
     allc = sig.select("doc_id", "simhash", F.explode(chunk_structs).alias("ck")).select(
         "doc_id", "simhash", "ck.chunk_id", "ck.chunk_val"
     )
+    if max_chunk_df is not None:
+        hot = (
+            allc.groupBy("chunk_id", "chunk_val")
+            .agg(F.count(F.lit(1)).alias("cdf"))
+            .filter(F.col("cdf") > max_chunk_df)
+            .localCheckpoint(eager=True)
+        )
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash_pairs: dropped %d chunk buckets with df > %d "
+                "(pairs agreeing only on dropped chunks are not reported)",
+                n_hot, max_chunk_df,
+            )
+        allc = allc.join(
+            hot.select("chunk_id", "chunk_val"),
+            ["chunk_id", "chunk_val"], "left_anti",
+        )
     a, b = allc.alias("a"), allc.alias("b")
     return (
         a.join(b, ["chunk_id", "chunk_val"])

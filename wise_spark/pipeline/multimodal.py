@@ -221,20 +221,33 @@ def _decode_image_bytes(b: bytes) -> np.ndarray:
         return a if a.ndim == 3 else a[:, :, None]
     if b[:3] == b"\xff\xd8\xff" or b[:4] in (b"\x89PNG", b"GIF8") \
             or (b[:4] == b"RIFF" and b[8:12] == b"WEBP"):
-        raise NotImplementedError(
-            "compressed image codecs (JPEG/PNG/GIF/WEBP) need PIL/torchvision "
-            "— absent in this container; plug a decoder into this mapInPandas "
-            "slot on a cluster image (same IMG_SCHEMA batch shape)"
-        )
+        try:
+            from PIL import Image  # optional: present on real cluster images
+        except ImportError:
+            raise NotImplementedError(
+                "compressed image codecs (JPEG/PNG/GIF/WEBP) need PIL — "
+                "absent in this container; `pip install pillow` on the "
+                "cluster image and this same kernel decodes them (the "
+                "reference decodes via torchvision, "
+                "/root/reference/src/dataloader/dataset.py:213-336)"
+            ) from None
+        import io
+
+        img = Image.open(io.BytesIO(b))
+        img = img.convert("L") if img.mode in ("1", "L", "I;16") else img.convert("RGB")
+        a = np.asarray(img, dtype=np.uint8)
+        return a if a.ndim == 3 else a[:, :, None]
     raise NotImplementedError("unsupported image format (unknown magic)")
 
 
 def decode_image(blobs: DataFrame) -> DataFrame:
     """Decode (doc_id, payload) image blobs to IMG_SCHEMA rows: typed dims +
     raw interleaved RGB/gray bytes. Real decode for BMP and binary PPM/PGM
-    (pure-numpy spec implementations above); compressed magics raise
-    NotImplementedError inside the kernel — the honest container limitation,
-    now scoped to exactly the formats that need a codec library."""
+    (pure-numpy spec implementations above) plus JPEG/PNG/GIF/WEBP when PIL
+    is importable (optional dependency — real cluster images have it);
+    without PIL the compressed magics raise NotImplementedError inside the
+    kernel — the honest container limitation, scoped to exactly the formats
+    that need a codec library."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

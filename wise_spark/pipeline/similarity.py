@@ -257,6 +257,10 @@ def _exact_neardup_blocked(
         def side(b):
             part = pdf[pdf["blk"] == b]
             ids = part["vid"].to_numpy()
+            if not len(ids):
+                # np.array([]) is 1-dim — norm(axis=1) would AxisError before
+                # the caller's emptiness guards ever run
+                return ids, np.zeros((0, 0)), np.zeros(0)
             V = np.array([np.asarray(v, dtype=np.float64) for v in part["vec"]])
             nrm = np.linalg.norm(V, axis=1)
             return ids, V, nrm
@@ -278,7 +282,11 @@ def _exact_neardup_blocked(
             ib = np.tile(np.arange(len(ids_b)), len(ids_a))
             cos = S.ravel()
             left, right = ids_a[ia], ids_b[ib]
-        keep = cos >= threshold - 1e-9
+        # left != right: duplicate id values land in one hash block and
+        # triu(k=1) would pair two rows sharing an id — the join-based
+        # implementation's strict vec_id_a < vec_id_b excluded those, so
+        # keep that contract here
+        keep = (cos >= threshold - 1e-9) & (left != right)
         cos, left, right = cos[keep], left[keep], right[keep]
         swap = left > right      # contract: vec_id_a < vec_id_b by id value
         return pd.DataFrame({

@@ -285,13 +285,37 @@ def winnow_pairs(
     min_shared: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_fp_df: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs (doc_a < doc_b, shared_fps) sharing >=
     min_shared winnowing fingerprints — the MOSS pair search as a bucketed
     equi-join on fp (exactly ngram_jaccard's inverted-index shape, but over
     the winnowed ~2/(w+1) subset, so the self-join fan-out shrinks
-    quadratically in the selection rate)."""
+    quadratically in the selection rate).
+
+    `max_fp_df` caps bucket size like ngram_jaccard_pairs' max_shingle_df:
+    a template fingerprint shared by a whole crawl shard would make one fp
+    bucket quadratic; fps with df above the cap are dropped with a logged
+    count (shared_fps undercounts by the dropped fps, so pairs held
+    together ONLY by template boilerplate disappear — usually the desired
+    behavior). None = exact semantics (oracle checks)."""
     fp = winnow_fingerprints(docs, k, w, id_col, text_col)
+    if max_fp_df is not None:
+        hot = (
+            fp.groupBy("fp").agg(F.count(F.lit(1)).alias("fdf"))
+            .filter(F.col("fdf") > max_fp_df)
+            .localCheckpoint(eager=True)
+        )
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "winnow_pairs: dropped %d fingerprints with df > %d "
+                "(pairs sharing only dropped fps are not reported)",
+                n_hot, max_fp_df,
+            )
+        fp = fp.join(hot.select("fp"), "fp", "left_anti")
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(b, "fp")

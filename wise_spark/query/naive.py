@@ -87,6 +87,14 @@ class TokenizedCorpus:
     tf: DataFrame  # (doc_id, term, tf, doclen)
     n_docs: int
     avgdl: float
+    # the relation .cache() was called on (tf is a filter over it); kept so
+    # a holder can release executor storage when the corpus is superseded
+    cached: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        """Release the cached tf relation (no-op if built with cache=False)."""
+        if self.cached is not None:
+            self.cached.unpersist()
 
     @classmethod
     def build(
@@ -111,7 +119,9 @@ class TokenizedCorpus:
             .collect()[0]
         )
         tf = tf_all.filter(F.col("term").isNotNull())
-        return cls(tf=tf, n_docs=int(row["n"]), avgdl=float(row["avgdl"] or 0.0))
+        return cls(tf=tf, n_docs=int(row["n"]),
+                   avgdl=float(row["avgdl"] or 0.0),
+                   cached=tf_all if cache else None)
 
 
 def _deterministic_score(

@@ -99,3 +99,42 @@ def test_postings_reject_unsorted_or_dup():
         encode_postings(np.array([3, 2]), np.array([1, 1]), np.array([5, 5]), avgdl)
     with pytest.raises(ValueError):
         encode_postings(np.array([2, 2]), np.array([1, 1]), np.array([5, 5]), avgdl)
+
+
+def test_decode_positions_subset_matches_full():
+    """Candidate-bounded decode must be bit-identical to the full decode
+    sliced to the kept postings, across random tf/position shapes."""
+    import numpy as np
+
+    from wise_spark.index.codec import (
+        decode_positions,
+        decode_positions_subset,
+        encode_positions_many,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n_post = int(rng.integers(1, 60))
+        tfs = rng.integers(1, 7, size=n_post).astype(np.int64)
+        pos = np.concatenate([
+            np.sort(rng.choice(10_000, size=t, replace=False)) for t in tfs
+        ]).astype(np.int64)
+        buf = encode_positions_many(
+            pos, tfs, np.array([0], dtype=np.int64),
+            np.array([n_post], dtype=np.int64),
+        )[0]
+        full = decode_positions(buf, tfs)
+        keep = rng.random(n_post) < rng.random()
+        sel = decode_positions_subset(buf, tfs, keep)
+        # expected: the full flat array sliced to kept postings
+        p_ends = np.cumsum(tfs)
+        want = np.concatenate(
+            [full[e - t: e] for e, t, k in zip(p_ends, tfs, keep) if k]
+            or [np.empty(0, dtype=np.int64)]
+        )
+        assert np.array_equal(sel, want), trial
+    # all-False and all-True edges
+    assert decode_positions_subset(buf, tfs, np.zeros(n_post, bool)).size == 0
+    assert np.array_equal(
+        decode_positions_subset(buf, tfs, np.ones(n_post, bool)), full
+    )

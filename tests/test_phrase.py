@@ -115,3 +115,29 @@ def test_single_term_phrase(pos_index):
     got = {int(r["doc_id"]): int(r["tf"]) for r in idx.phrase_matches(term).collect()}
     want = _brute_phrase(pdf, term)
     assert got == want
+
+
+def test_phrase_prune_identical_to_full_decode(pos_index):
+    """The candidate-bounded two-stage path (prune=True, default) must
+    return the exact (doc_id, tf, doclen) set of the single-stage
+    full-position-decode path, including phrases with repeated terms and
+    phrases with zero matches."""
+    idx, pdf = pos_index
+    phrases = [
+        _pick_phrase(pdf, length=2),
+        _pick_phrase(pdf, length=3),
+        "zzznope never occurs",
+    ]
+    # a repeated-term phrase from real data if one exists, else synthetic
+    for _, text in zip(pdf["doc_id"], pdf["text"]):
+        toks = tokenize_text(text)
+        for i in range(len(toks) - 2):
+            if toks[i] == toks[i + 2]:
+                phrases.append(" ".join(toks[i:i + 3]))
+                break
+        if len(phrases) > 3:
+            break
+    for ph in phrases:
+        a = sorted(map(tuple, idx.phrase_matches(ph, prune=True).collect()))
+        b = sorted(map(tuple, idx.phrase_matches(ph, prune=False).collect()))
+        assert a == b, ph

@@ -174,6 +174,50 @@ def decode_positions(buf: bytes | np.ndarray, tfs: np.ndarray) -> np.ndarray:
     return cs - np.repeat(base, tfs)
 
 
+def decode_positions_subset(
+    buf: bytes | np.ndarray, tfs: np.ndarray, keep: np.ndarray
+) -> np.ndarray:
+    """decode_positions restricted to postings where ``keep`` is True —
+    flat int64 positions of length tfs[keep].sum(), bit-identical to
+    decode_positions(buf, tfs) sliced to the kept postings.
+
+    The full decode pays varbyte accumulation over EVERY position in the
+    list; here only one cheap byte scan (terminator bits) touches the whole
+    buffer, and the accumulation runs over the kept postings' bytes alone —
+    so the phrase path's position decode is bounded by the candidate
+    intersection instead of the head term's list size (a head term in a
+    10^12-doc corpus carries ~10^11 positions; a selective phrase
+    intersects to a handful)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    keep_idx = np.flatnonzero(keep)
+    kt = tfs[keep_idx]
+    n_out = int(kt.sum())
+    if n_out == 0:
+        return np.empty(0, dtype=np.int64)
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    # value boundaries: one vectorized pass over the terminator bits
+    term_idx = np.flatnonzero((b & 0x80) == 0)          # last byte per value
+    starts = np.empty(term_idx.size, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = term_idx[:-1] + 1
+    # value indices of the kept postings: arange within each posting run
+    v_start = np.cumsum(tfs) - tfs
+    off = np.arange(n_out, dtype=np.int64) - np.repeat(np.cumsum(kt) - kt, kt)
+    val_idx = np.repeat(v_start[keep_idx], kt) + off
+    s, e = starts[val_idx], term_idx[val_idx]
+    lens = e - s + 1
+    vals = np.zeros(n_out, dtype=np.uint64)
+    for k in range(int(lens.max())):                    # <= 10 iterations
+        m = lens > k
+        vals[m] |= (b[s[m] + k] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(7 * k)
+    v = vals.view(np.int64)
+    # undo the per-posting delta encoding (same arithmetic as the full path)
+    cs = np.cumsum(v)
+    p0 = np.cumsum(kt) - kt
+    base = cs[p0] - v[p0]
+    return cs - np.repeat(base, kt)
+
+
 def encode_postings_many(
     ids: np.ndarray,
     tfs: np.ndarray,

@@ -249,16 +249,27 @@ class FtsIndex:
 
     # -- phrase queries --------------------------------------------------------
 
-    def phrase_matches(self, phrase: str) -> DataFrame:
+    def phrase_matches(self, phrase: str, prune: bool = True) -> DataFrame:
         """All (doc_id, tf, doclen) where the exact token sequence occurs;
         tf = number of phrase occurrences (FTS5 phrase semantics,
         /root/reference/src/index/sqlite_search_index.py:110-113 executes
         quoted phrases through FTS5 MATCH).
 
         Needs a with_positions=True index. Per shard the match is fully
-        vectorized: each term's (doc_id, position) pairs become int keys
-        doc_id * 2^32 + pos, and the phrase is the running intersection of
-        (keys(term_i) - i) — no per-doc Python loop.
+        vectorized and TWO-STAGE (prune=True, the default):
+
+          1. decode only the POSTINGS of each term and intersect doc-id
+             lists rarest-term-first — positions never touched; a shard
+             whose intersection is empty is skipped outright.
+          2. decode positions ONLY for intersection docs
+             (codec.decode_positions_subset) and intersect the shifted
+             (doc, pos) keys per term order.
+
+        Stage 2's cost is bounded by the candidate intersection instead of
+        the head term's full position list — the phrase analog of WAND's
+        rarest-term bounding (a head term at 10^12 docs carries ~10^11
+        positions; a selective phrase intersects to a handful). prune=False
+        keeps the single-stage full-decode path for A/B identity tests.
         """
         if not self.meta.extras.get("with_positions"):
             raise ValueError("index was built without positions (with_positions=True)")
@@ -274,7 +285,10 @@ class FtsIndex:
         def run(batches):
             import numpy as np
 
-            from .codec import decode_positions, decode_postings
+            from .codec import (
+                decode_positions_subset,
+                decode_postings,
+            )
 
             pdf = _concat(batches)
             if pdf is None:
@@ -283,30 +297,44 @@ class FtsIndex:
                 rows = {r["term"]: r for _, r in g.iterrows()}
                 if any(t not in rows for t in seq):
                     continue
+                # stage 1: postings-only candidate intersection, smallest
+                # list first so the running set collapses as early as
+                # possible (ids are sorted unique within a shard list)
+                decoded = {t: decode_postings(rows[t]) for t in uniq}
+                docs = None
+                for t in sorted(uniq, key=lambda t: decoded[t][0].size):
+                    docs = decoded[t][0] if docs is None else np.intersect1d(
+                        docs, decoded[t][0], assume_unique=True)
+                    if docs.size == 0:
+                        break
+                if docs.size == 0:
+                    continue
+                ids0, _, dls0 = decoded[seq[0]]
+                # doc_ids are int64 (10^12-doc target: ids exceed 2^31, so
+                # ids * 2^32 + pos would overflow int64). Key on LOCAL dense
+                # codes in term 0's sorted list — every candidate is in it,
+                # so the composite (code, pos) key always fits:
+                # code < |list_0| < 2^31, pos < 2^32.
                 keys = None
-                ids0 = dls0 = None
                 for i, t in enumerate(seq):
-                    ids, tfs, dls = decode_postings(rows[t])
-                    pos = decode_positions(bytes(rows[t]["positions"]), tfs)
-                    if i == 0:
-                        ids0, dls0 = ids, dls
-                        codes = np.arange(ids.size, dtype=np.int64)
-                        valid = np.ones(ids.size, dtype=bool)
+                    ids, tfs, _ = decoded[t]
+                    if prune:
+                        idx = np.searchsorted(docs, ids)
+                        idx_c = np.minimum(idx, docs.size - 1)
+                        keep = docs[idx_c] == ids
                     else:
-                        # doc_ids are int64 (10^12-doc target: ids exceed
-                        # 2^31, so ids * 2^32 + pos would overflow int64).
-                        # Map ids to LOCAL dense codes in term 0's sorted
-                        # list — every phrase match contains term 0, so docs
-                        # outside it can be dropped before keying, and the
-                        # composite (code, pos) key always fits:
-                        # code < |list_0| < 2^31, pos < 2^32.
-                        idx = np.searchsorted(ids0, ids)
-                        idx_c = np.minimum(idx, ids0.size - 1)
-                        valid = ids0[idx_c] == ids
-                        codes = idx_c
-                    vmask = np.repeat(valid, tfs) & (pos >= i)
-                    k = (np.repeat(codes, tfs)[vmask] << np.int64(32)) + pos[vmask] - i
-                    keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+                        keep = np.ones(ids.size, dtype=bool)
+                    # stage 2: candidate-bounded position decode
+                    pos = decode_positions_subset(
+                        bytes(rows[t]["positions"]), tfs, keep)
+                    kids, ktfs = ids[keep], tfs[keep]
+                    c = np.searchsorted(ids0, kids)
+                    c = np.minimum(c, max(ids0.size - 1, 0))
+                    valid = ids0[c] == kids if ids0.size else np.zeros(0, bool)
+                    vmask = np.repeat(valid, ktfs) & (pos >= i)
+                    k = (np.repeat(c, ktfs)[vmask] << np.int64(32)) + pos[vmask] - i
+                    keys = k if keys is None else np.intersect1d(
+                        keys, k, assume_unique=True)
                     if keys.size == 0:
                         break
                 if keys is None or keys.size == 0:

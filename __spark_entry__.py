@@ -118,12 +118,16 @@ def _ft_corpus(spark: SparkSession, sf_dir: str):
         _src_fingerprint(sf_dir),
     )
     if key not in _FT_CORPUS_CACHE:
-        # evict superseded fingerprints for the same (session, path) and
+        # evict superseded entries for the same PATH (any session) and
         # release their pinned .cache()'d tf relations — without this,
-        # every regeneration of documents.parquet leaks a cached corpus
-        # in executor memory for the life of the session
-        for stale in [k for k in _FT_CORPUS_CACHE if k[:2] == key[:2]]:
-            _FT_CORPUS_CACHE.pop(stale).unpersist()
+        # every regeneration of documents.parquet leaks a cached corpus in
+        # executor memory, and every session restart in one driver process
+        # leaks a dead entry in this module-level dict
+        for stale in [k for k in _FT_CORPUS_CACHE if k[1] == key[1]]:
+            try:
+                _FT_CORPUS_CACHE.pop(stale).unpersist()
+            except Exception:  # noqa: BLE001 — entry from a stopped session
+                pass
         docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
         _FT_CORPUS_CACHE[key] = TokenizedCorpus.build(docs, cache=True)
     return _FT_CORPUS_CACHE[key]

@@ -1324,12 +1324,17 @@ def _compact_final(out: dict) -> dict:
     if isinstance(compact.get("queries"), dict):
         compact["queries"] = {k: round(v, 3)
                               for k, v in compact["queries"].items()}
-    line = json.dumps(compact)
-    if len(line) > 6000:  # belt-and-braces: never ship an uncapturable line
+    # error strings embed multi-KB JVM stack traces (Py4JJavaError repr) —
+    # exactly the crashed-run evidence that must survive the tail capture,
+    # so truncate them instead of letting them blow the line
+    for k in ("headline_error", "scaling_error"):
+        if isinstance(compact.get(k), str) and len(compact[k]) > 300:
+            compact[k] = compact[k][:300] + "...[truncated]"
+    if len(json.dumps(compact)) > 2000:  # never ship an uncapturable line
         for k in ("scaling_efficiency_pairs", "scaling_build_docs_per_sec",
                   "queries"):
             compact.pop(k, None)
-            if len(json.dumps(compact)) <= 6000:
+            if len(json.dumps(compact)) <= 2000:
                 break
     return compact
 

@@ -328,9 +328,10 @@ class FtsIndex:
                     pos = decode_positions_subset(
                         bytes(rows[t]["positions"]), tfs, keep)
                     kids, ktfs = ids[keep], tfs[keep]
-                    c = np.searchsorted(ids0, kids)
-                    c = np.minimum(c, max(ids0.size - 1, 0))
-                    valid = ids0[c] == kids if ids0.size else np.zeros(0, bool)
+                    # ids0 is non-empty here: stage 1 `continue`d unless the
+                    # intersection (which includes seq[0]'s list) is non-empty
+                    c = np.minimum(np.searchsorted(ids0, kids), ids0.size - 1)
+                    valid = ids0[c] == kids
                     vmask = np.repeat(valid, ktfs) & (pos >= i)
                     k = (np.repeat(c, ktfs)[vmask] << np.int64(32)) + pos[vmask] - i
                     keys = k if keys is None else np.intersect1d(

@@ -234,7 +234,12 @@ def _decode_image_bytes(b: bytes) -> np.ndarray:
         import io
 
         img = Image.open(io.BytesIO(b))
-        img = img.convert("L") if img.mode in ("1", "L", "I;16") else img.convert("RGB")
+        # 16-bit grayscale PNGs report mode 'I' or 'I;16B'/'I;16' depending
+        # on Pillow version — route every integer-grayscale mode through the
+        # L conversion (convert('RGB') on mode 'I' clips >255 to white, and
+        # 'I;16B'→RGB raises in some Pillow versions)
+        gray = img.mode in ("1", "L", "LA", "I") or img.mode.startswith("I;16")
+        img = img.convert("L") if gray else img.convert("RGB")
         a = np.asarray(img, dtype=np.uint8)
         return a if a.ndim == 3 else a[:, :, None]
     raise NotImplementedError("unsupported image format (unknown magic)")

@@ -301,6 +301,10 @@ def winnow_pairs(
     behavior). None = exact semantics (oracle checks)."""
     fp = winnow_fingerprints(docs, k, w, id_col, text_col)
     if max_fp_df is not None:
+        # the fp relation now feeds THREE consumers (hot count, anti-join
+        # probe, both self-join sides) — materialize the rolling-md5
+        # pipeline once, mirroring simhash_pairs/ngram_jaccard_pairs
+        fp = fp.localCheckpoint(eager=True)
         hot = (
             fp.groupBy("fp").agg(F.count(F.lit(1)).alias("fdf"))
             .filter(F.col("fdf") > max_fp_df)

@@ -663,7 +663,7 @@ def q_dedup_winnow_pairs(spark, sf_dir):
     )
 
 
-def _messy_urls(docs):
+def _messy_urls(docs, extra_cols=()):
     """Deterministic messy surface URL per document (the DuckDB oracle
     inlines the identical derivation): scheme/www/port/tracking/fragment/
     trailing-slash variants that all canonicalize away, keyed so every
@@ -695,7 +695,7 @@ def _messy_urls(docs):
         ),
         F.when(did % 6 == 0, F.lit("#Sec2")).otherwise(F.lit("")),
     )
-    return docs.select("doc_id", raw.alias("raw_url"))
+    return docs.select("doc_id", raw.alias("raw_url"), *extra_cols)
 
 
 def q_url_canonical(spark, sf_dir):
@@ -712,6 +712,17 @@ def q_url_dup_groups(spark, sf_dir):
 
     raw = _messy_urls(_t(spark, sf_dir, "documents"))
     return url_duplicate_groups(raw, url_col="raw_url").orderBy("canon_url")
+
+
+def q_url_domain_stats(spark, sf_dir):
+    """Per-host corpus profile over the messy-URL surface — the input to
+    domain-level curation (C4/Gopher-style allow/deny lists, per-domain
+    sampling caps): doc count, token volume, mean doc tokens, distinct
+    canonical URLs per host."""
+    from wise_spark.pipeline import domain_stats
+
+    raw = _messy_urls(_t(spark, sf_dir, "documents"), extra_cols=("text",))
+    return domain_stats(raw, url_col="raw_url").orderBy("host")
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -1063,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "url_canonical": q_url_canonical,
         "url_dup_groups": q_url_dup_groups,
+        "url_domain_stats": q_url_domain_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "mm_binary_metadata": q_mm_binary_metadata,
         "mm_decode_image_stats": q_mm_decode_image_stats,
@@ -1703,6 +1715,26 @@ WITH raw AS ({_RAW_URL_SQL})
 SELECT {_canon} AS canon_url, count(*) AS n_docs,
        min(doc_id) AS keeper_doc_id
 FROM raw GROUP BY 1 HAVING count(*) > 1 ORDER BY canon_url
+"""
+    sqls["url_domain_stats"] = f"""
+WITH raw AS (
+  SELECT r.doc_id, r.raw_url, d.text
+  FROM ({_RAW_URL_SQL}) r JOIN documents d USING (doc_id)
+),
+per_doc AS (
+  SELECT
+    NULLIF(regexp_replace(
+      regexp_extract(lower(raw_url), '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1),
+      '^www[.]', '', ''), '') AS host,
+    CAST(len({_TOK_SQL}) AS BIGINT) AS n_toks,
+    {_canon} AS canon
+  FROM raw
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       round(avg(n_toks), 6) AS avg_doc_tokens,
+       CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical_urls
+FROM per_doc GROUP BY host ORDER BY host
 """
     sqls["ann_cosine_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -906,3 +906,30 @@ def test_exact_neardup_duplicate_ids_and_empty_blocks(spark):
     assert out, "cross-id pairs above threshold must survive"
     assert all(r["vec_id_a"] < r["vec_id_b"] for r in out), \
         "duplicate ids must never emit self-pairs"
+
+
+def test_extract_host_and_domain_stats(spark):
+    from wise_spark.pipeline import domain_stats, extract_host
+
+    docs = spark.createDataFrame(
+        [
+            (0, "https://WWW.News.Example.com:443/a?x=1", "alpha beta gamma"),
+            (1, "http://news.example.com/b", "delta epsilon"),
+            (2, "https://other.org/", ""),                  # zero tokens
+            (3, "not a url at all", "zeta"),                # NULL host
+        ],
+        "doc_id long, url string, text string",
+    )
+    hosts = {r["doc_id"]: r["h"] for r in
+             docs.select("doc_id", extract_host("url").alias("h")).collect()}
+    assert hosts[0] == "news.example.com"   # lowercased, www+port stripped
+    assert hosts[1] == "news.example.com"
+    assert hosts[2] == "other.org"
+    assert hosts[3] is None
+
+    stats = {r["host"]: r for r in domain_stats(docs).collect()}
+    ex = stats["news.example.com"]
+    assert (ex["n_docs"], ex["n_tokens"], ex["n_canonical_urls"]) == (2, 5, 2)
+    assert ex["avg_doc_tokens"] == 2.5
+    assert stats["other.org"]["n_tokens"] == 0
+    assert stats[None]["n_docs"] == 1       # NULL-host group preserved

@@ -108,3 +108,48 @@ def url_duplicate_groups(
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def extract_host(col: Column | str) -> Column:
+    """Lowercased URL host with any leading 'www.' stripped; NULL when the
+    string has no scheme://host shape. Pure JVM regexp, Java/RE2-portable
+    (no lookbehind), so the DuckDB oracle runs the identical pattern."""
+    u = F.lower(F.col(col) if isinstance(col, str) else col)
+    h = F.regexp_extract(u, "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
+    h = F.regexp_replace(h, "^www[.]", "")
+    return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
+
+
+def domain_stats(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-host corpus profile — the input to domain-level curation
+    decisions (C4/Gopher-style domain allow/deny lists, per-domain
+    sampling caps): (host, n_docs, n_tokens, avg_doc_tokens,
+    n_canonical_urls).
+
+    Scale: host extraction and token counting are per-row codegen (zero
+    shuffle), then ONE groupBy on host. count/sum/avg combine map-side;
+    a head domain (a wikipedia-sized host in a crawl shard) costs its
+    reducer only the pre-combined partials, never a row explosion. The
+    distinct-canonical-URL count is Spark's two-phase distinct aggregate —
+    the (host, canon_url) shuffle is bounded by the corpus's distinct URL
+    count, which dedup upstream already bounds."""
+    from .text import _toks
+
+    return (
+        docs.select(
+            extract_host(url_col).alias("host"),
+            F.size(_toks(text_col)).alias("n_toks"),
+            canonicalize_url(url_col).alias("canon"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.round(F.avg("n_toks"), 6).alias("avg_doc_tokens"),
+            F.countDistinct("canon").alias("n_canonical_urls"),
+        )
+    )

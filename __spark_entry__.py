@@ -725,6 +725,17 @@ def q_url_domain_stats(spark, sf_dir):
     return domain_stats(raw, url_col="raw_url").orderBy("host")
 
 
+def q_url_domain_sample(spark, sf_dir):
+    """Per-domain sampling cap (keep the 3 smallest doc_ids per host) —
+    the C4-style curation step fed by url_domain_stats."""
+    from wise_spark.pipeline import sample_per_domain
+
+    raw = _messy_urls(_t(spark, sf_dir, "documents"))
+    return sample_per_domain(raw, 3, url_col="raw_url").select(
+        "host", "rank_in_host", "doc_id"
+    ).orderBy("host", "rank_in_host")
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from wise_spark.pipeline import cosine_topk
 
@@ -1075,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "url_dup_groups": q_url_dup_groups,
         "url_domain_stats": q_url_domain_stats,
+        "url_domain_sample": q_url_domain_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
         "mm_binary_metadata": q_mm_binary_metadata,
         "mm_decode_image_stats": q_mm_decode_image_stats,
@@ -1735,6 +1747,24 @@ SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(n_toks), 6) AS avg_doc_tokens,
        CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical_urls
 FROM per_doc GROUP BY host ORDER BY host
+"""
+    sqls["url_domain_sample"] = f"""
+WITH raw AS ({_RAW_URL_SQL}),
+hosted AS (
+  SELECT doc_id,
+    NULLIF(regexp_replace(
+      regexp_extract(lower(raw_url), '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1),
+      '^www[.]', '', ''), '') AS host
+  FROM raw
+),
+ranked AS (
+  SELECT host, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id)
+              AS INTEGER) AS rank_in_host
+  FROM hosted
+)
+SELECT host, rank_in_host, doc_id FROM ranked
+WHERE rank_in_host <= 3 ORDER BY host, rank_in_host
 """
     sqls["ann_cosine_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

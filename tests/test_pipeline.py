@@ -933,3 +933,33 @@ def test_extract_host_and_domain_stats(spark):
     assert ex["avg_doc_tokens"] == 2.5
     assert stats["other.org"]["n_tokens"] == 0
     assert stats[None]["n_docs"] == 1       # NULL-host group preserved
+
+
+def test_sample_per_domain_matches_naive_window(spark):
+    """The salted two-phase cap must equal the naive single-window result
+    (smallest-N ids per host is salt-invariant), including a planted head
+    host with many docs and a NULL-host group."""
+    from pyspark.sql import Window
+
+    from wise_spark.pipeline import extract_host, sample_per_domain
+
+    rows = [(i, "https://head.example.com/p") for i in range(200)]
+    rows += [(1000 + i, "https://tail.org/x") for i in range(2)]
+    rows += [(2000, "not a url")]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+
+    got = sample_per_domain(docs, 5, n_salts=8).select(
+        "host", "rank_in_host", "doc_id")
+    naive = (
+        docs.withColumn("host", extract_host("url"))
+        .withColumn("rank_in_host", F.row_number().over(
+            Window.partitionBy("host").orderBy("doc_id")))
+        .filter(F.col("rank_in_host") <= 5)
+        .select("host", "rank_in_host", "doc_id")
+    )
+    g = set(map(tuple, got.collect()))
+    n = set(map(tuple, naive.collect()))
+    assert g == n
+    heads = sorted(d for h, _, d in g if h == "head.example.com")
+    assert heads == [0, 1, 2, 3, 4]          # smallest ids, capped at 5
+    assert (None, 1, 2000) in g              # NULL-host group preserved

@@ -153,3 +153,41 @@ def domain_stats(
             F.countDistinct("canon").alias("n_canonical_urls"),
         )
     )
+
+
+def sample_per_domain(
+    docs: DataFrame,
+    max_per_host: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Deterministic per-host document cap — the curation step that follows
+    `domain_stats` (C4-style per-domain sampling: no single host may
+    contribute more than max_per_host docs). Keeps the max_per_host
+    SMALLEST id_col values per host (stable and re-runnable: the same
+    corpus always keeps the same docs), emitting the original columns plus
+    (host, rank_in_host).
+
+    Scale: a naive row_number over host routes a wikipedia-sized head
+    host's entire row set through ONE reducer. This is two-phase instead:
+    a salted local top-N per (host, salt) bounds any reducer at
+    ~|host| / n_salts rows and emits <= n_salts * max_per_host survivors
+    per host, then the global top-N runs over that bounded relation.
+    Same result as the naive window (smallest-N is salt-invariant), shuffle
+    bounded on both phases."""
+    from pyspark.sql import Window
+
+    base = docs.withColumn("_host", extract_host(url_col)).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy("_host", "_salt").orderBy(id_col)
+    w2 = Window.partitionBy("_host").orderBy(id_col)
+    return (
+        base.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= max_per_host)
+        .drop("_rn", "_salt")
+        .withColumn("rank_in_host", F.row_number().over(w2))
+        .filter(F.col("rank_in_host") <= max_per_host)
+        .withColumnRenamed("_host", "host")
+    )

@@ -714,6 +714,21 @@ def q_url_dup_groups(spark, sf_dir):
     return url_duplicate_groups(raw, url_col="raw_url").orderBy("canon_url")
 
 
+def q_dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing >= 2 distinct
+    3-gram shingles with a probe (benchmark) doc. Probes = documents
+    0-19; corpus = everything else plus the shifted exact copies of the
+    probes (so every probe has at least one planted contaminated doc)."""
+    from wise_spark.pipeline import cross_contamination
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = d.filter(F.col("doc_id") < 20).withColumnRenamed(
+        "doc_id", "probe_id")
+    corpus = _docs_with_dups(spark, sf_dir).filter(F.col("doc_id") >= 20)
+    return cross_contamination(corpus, probes, n=3, min_shared=2).orderBy(
+        "doc_id", "probe_id")
+
+
 def q_url_domain_stats(spark, sf_dir):
     """Per-host corpus profile over the messy-URL surface — the input to
     domain-level curation (C4/Gopher-style allow/deny lists, per-domain
@@ -1087,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dup_groups": q_url_dup_groups,
         "url_domain_stats": q_url_domain_stats,
         "url_domain_sample": q_url_domain_sample,
+        "dedup_decontaminate": q_dedup_decontaminate,
         "ann_cosine_topk": q_ann_cosine_topk,
         "mm_binary_metadata": q_mm_binary_metadata,
         "mm_decode_image_stats": q_mm_decode_image_stats,
@@ -1727,6 +1743,29 @@ WITH raw AS ({_RAW_URL_SQL})
 SELECT {_canon} AS canon_url, count(*) AS n_docs,
        min(doc_id) AS keeper_doc_id
 FROM raw GROUP BY 1 HAVING count(*) > 1 ORDER BY canon_url
+"""
+    sqls["dedup_decontaminate"] = f"""
+WITH corpus AS (SELECT doc_id, text FROM {_DUP_SQL} dd WHERE doc_id >= 20),
+probes AS (SELECT doc_id AS probe_id, text FROM documents WHERE doc_id < 20),
+shc AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(toks[i + 1 : i + 3], ' ') AS shingle
+    FROM (SELECT doc_id, {_TOK_SQL} AS toks FROM corpus) base,
+         UNNEST(range(0, len(toks) - 2)) AS r(i)
+    WHERE len(toks) >= 3
+  )
+),
+shp AS (
+  SELECT DISTINCT probe_id, shingle FROM (
+    SELECT probe_id, array_to_string(toks[i + 1 : i + 3], ' ') AS shingle
+    FROM (SELECT probe_id, {_TOK_SQL} AS toks FROM probes) base,
+         UNNEST(range(0, len(toks) - 2)) AS r(i)
+    WHERE len(toks) >= 3
+  )
+)
+SELECT c.doc_id, p.probe_id, CAST(count(*) AS BIGINT) AS shared_shingles
+FROM shc c JOIN shp p USING (shingle)
+GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_id, probe_id
 """
     sqls["url_domain_stats"] = f"""
 WITH raw AS (

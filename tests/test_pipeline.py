@@ -963,3 +963,24 @@ def test_sample_per_domain_matches_naive_window(spark):
     heads = sorted(d for h, _, d in g if h == "head.example.com")
     assert heads == [0, 1, 2, 3, 4]          # smallest ids, capped at 5
     assert (None, 1, 2000) in g              # NULL-host group preserved
+
+
+def test_cross_contamination_broadcast_plan_and_semantics(spark, small_docs):
+    """Planted contamination is found with exact shared counts; the probe
+    side reaches the join as a broadcast (the corpus must never shuffle
+    for the match itself — the 10^12-doc scale contract)."""
+    from wise_spark.pipeline import cross_contamination
+
+    probes = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "totally novel benchmark prompt text here")],
+        "probe_id long, text string",
+    )
+    out = cross_contamination(small_docs, probes, n=3, min_shared=2)
+    got = {(r["doc_id"], r["probe_id"]): r["shared_shingles"]
+           for r in out.collect()}
+    assert got[(0, 100)] == 7 and got[(1, 100)] == 7   # exact copies: all 7 shingles
+    assert (2, 100) in got                             # near dup shares >= 2
+    assert not any(p == 101 for _, p in got)           # novel probe: clean
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan

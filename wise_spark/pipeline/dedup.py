@@ -303,3 +303,35 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def cross_contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n: int = 3,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, probe_id, shared_shingles) for
+    every corpus doc sharing >= min_shared distinct token n-grams with a
+    probe document — the train/test-overlap scan every LLM data pipeline
+    runs before training (probes = the evaluation suites).
+
+    Scale shape differs from the self-join dedups: the probe side is
+    benchmark-sized (10^5-10^6 shingles), so it BROADCASTS — the 10^12-doc
+    corpus side streams map-side through a broadcast hash join and never
+    shuffles; the only exchange is the (doc_id, probe_id) count over
+    matching rows, which is bounded by actual contamination, not corpus
+    size."""
+    sh_c = shingles(corpus, n, id_col, text_col)
+    sh_p = shingles(probes, n, probe_id_col, text_col).withColumnRenamed(
+        "doc_id", "probe_id"
+    )
+    return (
+        sh_c.join(F.broadcast(sh_p), "shingle")
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= min_shared)
+    )

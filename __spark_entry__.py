@@ -729,6 +729,35 @@ def q_dedup_decontaminate(spark, sf_dir):
         "doc_id", "probe_id")
 
 
+def _pii_texts(docs):
+    """Deterministic planted PII-ish strings (the DuckDB oracle inlines the
+    identical derivation) — the synthetic corpus itself is PII-free, so the
+    detector entry needs planted positives to be a non-trivial check."""
+    did = F.col("doc_id")
+    extra = F.concat(
+        F.when(did % 5 == 0, F.concat(
+            F.lit(" contact user"), (did % 50).cast("string"),
+            F.lit("@example.com now"))).otherwise(F.lit("")),
+        F.when(did % 7 == 0,
+               F.lit(" server at 192.168.1.77 up")).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.concat(
+            F.lit(" see https://example.com/p/"),
+            (did % 100).cast("string"))).otherwise(F.lit("")),
+        F.when(did % 13 == 0,
+               F.lit(" call +1 555 867-5309")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", F.concat(F.col("text"), extra).alias("text"))
+
+
+def q_text_pii_stats(spark, sf_dir):
+    """Per-doc PII-ish pattern counts (emails / IPv4 / inline URLs /
+    phone-shaped runs) — the detector stage of a redaction/filter pass."""
+    from wise_spark.pipeline import pii_features
+
+    return pii_features(_pii_texts(_t(spark, sf_dir, "documents"))).orderBy(
+        "doc_id")
+
+
 def q_url_domain_stats(spark, sf_dir):
     """Per-host corpus profile over the messy-URL surface — the input to
     domain-level curation (C4/Gopher-style allow/deny lists, per-domain
@@ -1103,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_stats": q_url_domain_stats,
         "url_domain_sample": q_url_domain_sample,
         "dedup_decontaminate": q_dedup_decontaminate,
+        "text_pii_stats": q_text_pii_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "mm_binary_metadata": q_mm_binary_metadata,
         "mm_decode_image_stats": q_mm_decode_image_stats,
@@ -1743,6 +1773,32 @@ WITH raw AS ({_RAW_URL_SQL})
 SELECT {_canon} AS canon_url, count(*) AS n_docs,
        min(doc_id) AS keeper_doc_id
 FROM raw GROUP BY 1 HAVING count(*) > 1 ORDER BY canon_url
+"""
+    from wise_spark.pipeline.text import (
+        PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE, PII_URL_RE,
+    )
+
+    _PII_TEXT_SQL = """
+  SELECT doc_id, text
+    || (CASE WHEN doc_id % 5 = 0 THEN ' contact user'
+             || CAST(doc_id % 50 AS VARCHAR) || '@example.com now'
+             ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN ' server at 192.168.1.77 up'
+             ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN ' see https://example.com/p/'
+             || CAST(doc_id % 100 AS VARCHAR) ELSE '' END)
+    || (CASE WHEN doc_id % 13 = 0 THEN ' call +1 555 867-5309'
+             ELSE '' END) AS text
+  FROM documents
+"""
+    sqls["text_pii_stats"] = f"""
+WITH pii AS ({_PII_TEXT_SQL})
+SELECT doc_id,
+  CAST(len(regexp_extract_all(lower(text), '{PII_EMAIL_RE}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(lower(text), '{PII_IPV4_RE}')) AS INTEGER) AS n_ipv4,
+  CAST(len(regexp_extract_all(lower(text), '{PII_URL_RE}')) AS INTEGER) AS n_urls,
+  CAST(len(regexp_extract_all(lower(text), '{PII_PHONE_RE}')) AS INTEGER) AS n_phones
+FROM pii ORDER BY doc_id
 """
     sqls["dedup_decontaminate"] = f"""
 WITH corpus AS (SELECT doc_id, text FROM {_DUP_SQL} dd WHERE doc_id >= 20),

@@ -984,3 +984,28 @@ def test_cross_contamination_broadcast_plan_and_semantics(spark, small_docs):
     assert not any(p == 101 for _, p in got)           # novel probe: clean
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pii_features_counts(spark):
+    from wise_spark.pipeline import pii_features
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail A@B.co and c.d+x@ex.org; visit https://a.io/x then "
+                "http://b.net 10.0.0.1 and 256.1.1.1 call +44 207 946-0958"),
+            (1, "plain text with no sensitive content at all"),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_features(docs).collect()}
+    assert out[0]["n_emails"] == 2
+    assert out[0]["n_urls"] == 2
+    # 256.1.1.1 still matches the simple digit-run shape (detector input,
+    # not a validator) — both quads count
+    assert out[0]["n_ipv4"] == 2
+    assert out[0]["n_phones"] == 1
+    assert all(out[1][c] == 0 for c in
+               ("n_emails", "n_ipv4", "n_urls", "n_phones"))
+    assert all(out[2][c] == 0 for c in
+               ("n_emails", "n_ipv4", "n_urls", "n_phones"))

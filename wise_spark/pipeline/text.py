@@ -328,3 +328,32 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+# PII-ish surface patterns — deliberately simple, ASCII, and Java/RE2-dual
+# (no lookaround, no backreferences) so the identical pattern strings run on
+# Spark (Java regex) and the DuckDB oracle (RE2). These are detector inputs
+# for curation decisions (mask / drop / route to a redaction pass), not a
+# compliance-grade PII system.
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+PII_IPV4_RE = "\\b(?:[0-9]{1,3}[.]){3}[0-9]{1,3}\\b"
+PII_URL_RE = "https?://[^ \\t\\n]+"
+PII_PHONE_RE = "\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}\\b"
+
+
+def pii_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc counts of PII-ish surface patterns (emails, IPv4 literals,
+    inline URLs, phone-shaped digit runs) — the detector stage of the
+    standard web-corpus redaction/filter pass (Dolma/C4-style). Pure JVM
+    `regexp_count` per row: zero shuffle, whole-stage codegen, and the
+    pattern strings are shared verbatim with the DuckDB oracle."""
+    t = F.lower(F.col(text_col))
+    return rebalance_narrow_scan(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_URL_RE)).alias("n_urls"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phones"),
+    )

@@ -266,6 +266,10 @@ def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
         "rel_tolerance_merge", "rel_overlap_antijoin", "rel_overlap_join",
         "rel_pricing_summary", "text_repetition", "url_dup_groups",
         "dedup_winnow_pairs",
+        # round-5 additions (not in r2-r4 runs — totals are not comparable
+        # across rounds without subtracting these; per-query map is)
+        "url_domain_stats", "url_domain_sample", "dedup_decontaminate",
+        "text_pii_stats",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -909,10 +909,43 @@ def write_bench_md(n_docs: int, scaling: dict, effs: dict, effs_best: dict,
     stage_sep = "|" + "---|" * (1 + len(scaling))
     md = f"""# BENCH — wise_spark
 
-## Round-4 result summary (read this first)
+## Round-5 result summary (read this first)
 
 North-rule bar: build-throughput scaling efficiency >= 0.8 from N to 4N
 executors (1 executor -> 4 executors x 1 core, same job, same input).
+
+Round-5 evidence fixes (r4 verdict items #1/#2, both verified end-to-end):
+`bench.py` now prints a COMPACT final JSON line (~1.5 KB: headline wall +
+per-query map + scaling efficiency/pairs/clean + flags — no
+prior_protocols, no per-run arrays; error strings truncated), because the
+driver keeps only a ~2 KB stdout tail and rounds 3-4 both shipped rc=0
+with `parsed: null` from an oversized line. Full detail still lands in
+BENCH_partial.json, and every completed protocol record in
+BENCH_evidence.jsonl now ALSO carries the headline `queries` map +
+headline steal/probe — clean-vs-contended per-query claims are
+machine-checkable across rounds instead of living in prose.
+
+Round-5 definitive protocols (deadline 3300 s, shipped code):
+2026-08-20T16:39:42Z — 4 clean pairs, zero topped up, median **0.893**;
+2026-08-20T17:50:25Z (headline includes the four round-5 operators) — 5
+clean pairs, zero topped up, headline window itself clean (steal 0.31%),
+median **0.863**. Eighth and ninth consecutive post-fix protocols at or
+above the 0.8 bar.
+
+Round-5 headline notes: 16:39Z run 45.6 s over the 27 r4-era queries;
+17:50Z run 54.96 s over 31 queries (adds `url_domain_stats` 0.43 s,
+`url_domain_sample` 0.73 s, `dedup_decontaminate` 2.53 s,
+`text_pii_stats` 1.21 s — subtract ~4.9 s for cross-round total
+comparisons). ann_cosine_topk 0.996-1.53 s and dedup_simhash_pairs
+3.85-3.99 s confirm r4's contended snapshot (9.87 / 24.62 s) was weather;
+`ft_phrase` now runs the candidate-bounded two-stage position decode
+(postings-first rarest-term intersection + subset varbyte decode —
+codec-level 811 ms -> 114 ms at 1% candidate density on 6 M positions;
+rank identity pruned-vs-full pytest-enforced). Warm steady-state
+eval_map_bm25 re-measured at 1.73-1.98 s (the ~5 s bench figure is
+first-execution plan compilation).
+
+## Round-4 result summary (scaling-fix history)
 
 The round's turning point: the first fully GATE-CLEAN protocol run
 (2026-08-18T09:42Z, steal 0.02-0.79%, probes 1.2-1.3s on every side)

@@ -306,6 +306,20 @@ def q_ft_phrase(spark, sf_dir):
     )
 
 
+def q_ft_prefix(spark, sf_dir):
+    """FTS5 prefix query 's*' (matches scan/slow/small/sort/spark/stream in
+    the synthetic vocab) — one virtual term, StringStartsWith pushed into
+    the term-sorted segment scan."""
+    _ship(spark)
+    idx = _get_index(spark, sf_dir)
+    pool = idx.prefix_topk("s*", k=100)
+    return (
+        pool.withColumn("score", F.round("score", 9))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(40)
+    )
+
+
 def q_ft_phrase_fts5(spark, sf_dir):
     """Phrase top-k checked INLINE against the actual reference engine:
     SQLite FTS5 (the reference executes quoted phrases through FTS5 MATCH,
@@ -1102,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_wand_all": q_ft_bm25_wand_all,
         "ft_parsed_and": q_ft_parsed_and,
         "ft_phrase": q_ft_phrase,
+        "ft_prefix": q_ft_prefix,
         "ft_phrase_fts5": q_ft_phrase_fts5,
         "ft_not_in": q_ft_not_in,
         "ft_and_merge": q_ft_and_merge,
@@ -1230,6 +1245,21 @@ SELECT doc_id,
              * (ph.tf * 2.2) / (ph.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)),
              9) AS score
 FROM ph JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN phd
+ORDER BY score DESC, doc_id ASC LIMIT 40
+"""
+    sqls["ft_prefix"] = f"""
+WITH {_TOK_CTE},
+m AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE term LIKE 's%' GROUP BY doc_id
+),
+vd AS (SELECT count(*) AS df FROM m)
+SELECT doc_id,
+       round((CASE WHEN ln((st.n_docs - vd.df + 0.5)/(vd.df + 0.5)) <= 0
+                   THEN 0.000001
+                   ELSE ln((st.n_docs - vd.df + 0.5)/(vd.df + 0.5)) END)
+             * (m.tf * 2.2) / (m.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)),
+             9) AS score
+FROM m JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN vd
 ORDER BY score DESC, doc_id ASC LIMIT 40
 """
     sqls["ft_phrase_fts5"] = f"""

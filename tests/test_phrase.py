@@ -141,3 +141,41 @@ def test_phrase_prune_identical_to_full_decode(pos_index):
         a = sorted(map(tuple, idx.phrase_matches(ph, prune=True).collect()))
         b = sorted(map(tuple, idx.phrase_matches(ph, prune=False).collect()))
         assert a == b, ph
+
+
+def test_prefix_topk_rank_identical_to_fts5(pos_index):
+    """'tok*' prefix queries: rank- and score-identical to FTS5's own
+    prefix MATCH (the reference forwards raw FTS5 syntax, so this is part
+    of its user-facing surface)."""
+    if not fts5_available():
+        pytest.skip("no FTS5 in this sqlite build")
+    idx, pdf = pos_index
+    # pick prefixes that match >= 2 distinct vocab terms, plus a no-match
+    from collections import Counter
+
+    vocab = Counter(t for text in pdf["text"] for t in tokenize_text(text))
+    by_prefix = Counter(t[:2] for t in vocab)
+    prefixes = [p for p, c in by_prefix.most_common(3) if c >= 2]
+    assert prefixes, "fixture vocab has no shared 2-char prefixes"
+    for p in prefixes + ["zzz"]:
+        ours = idx.prefix_topk(p, k=10).collect()
+        ref = Fts5Oracle(pdf).prefix_topk(p, k=10)
+        assert [r["doc_id"] for r in ours] == ref["doc_id"].tolist(), p
+        assert np.allclose(
+            [r["score"] for r in ours], ref["score"].to_numpy(), atol=1e-9
+        ), p
+
+
+def test_prefix_matches_brute_force(pos_index):
+    idx, pdf = pos_index
+    prefix = tokenize_text(pdf["text"].iloc[0])[0][:3]
+    want = {}
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        n = sum(1 for t in tokenize_text(text) if t.startswith(prefix))
+        if n:
+            want[int(doc_id)] = n
+    got = {int(r["doc_id"]): int(r["tf"])
+           for r in idx.prefix_matches(prefix).collect()}
+    assert got == want
+    with pytest.raises(ValueError, match="one token"):
+        idx.prefix_matches("two words*")

@@ -356,30 +356,97 @@ class FtsIndex:
             run, schema="doc_id long, tf long, doclen long"
         )
 
-    def phrase_topk(self, phrase: str, k: int = 10) -> DataFrame:
-        """Top-k BM25 treating the phrase as ONE virtual term: its tf is the
-        occurrence count and its df the number of matching docs (exactly how
-        FTS5's bm25() scores a quoted phrase). Two jobs: a global df count
-        (tiny relation), then score + TakeOrderedAndProject."""
+    def _virtual_term_topk(self, matches: DataFrame, k: int) -> DataFrame:
+        """Score a (doc_id, tf, doclen) virtual-term relation: FTS5's bm25()
+        treats a quoted phrase OR a prefix token as one scoring unit whose
+        df is the number of matching docs. Two jobs: a global df count
+        (tiny relation), then score + TakeOrderedAndProject.
+
+        localCheckpoint (not persist): the matches relation is needed by
+        two actions (df count + scoring) but must not pin executor storage
+        for the life of the session — checkpoint blocks are freed by the
+        ContextCleaner as soon as the result DataFrame is dropped, whereas
+        a persist() with no unpersist() accumulates across queries."""
         from ..query.bm25 import idf_scalar, tf_component_col
 
-        # localCheckpoint (not persist): the matches relation is needed by
-        # two actions (df count + scoring) but must not pin executor storage
-        # for the life of the session — checkpoint blocks are freed by the
-        # ContextCleaner as soon as the result DataFrame is dropped, whereas
-        # a persist() with no unpersist() accumulates across queries.
-        matches = self.phrase_matches(phrase).localCheckpoint(eager=True)
-        df_phrase = matches.count()
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
-        if df_phrase == 0:
-            return empty
-        idf = idf_scalar(df_phrase, self.meta.n_docs)
+        matches = matches.localCheckpoint(eager=True)
+        df_v = matches.count()
+        if df_v == 0:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        idf = idf_scalar(df_v, self.meta.n_docs)
         scored = matches.select(
             "doc_id",
             (F.lit(idf) * tf_component_col(F.col("tf"), F.col("doclen"),
                                            self.meta.avgdl)).alias("score"),
         )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def phrase_topk(self, phrase: str, k: int = 10) -> DataFrame:
+        """Top-k BM25 treating the phrase as ONE virtual term: its tf is the
+        occurrence count and its df the number of matching docs (exactly how
+        FTS5's bm25() scores a quoted phrase)."""
+        return self._virtual_term_topk(self.phrase_matches(phrase), k)
+
+    # -- prefix queries --------------------------------------------------------
+
+    def prefix_matches(self, prefix: str) -> DataFrame:
+        """(doc_id, tf, doclen) for docs containing ANY vocab term starting
+        with `prefix` — tf totals occurrences across matching terms (FTS5
+        prefix-token semantics; the reference forwards raw FTS5 MATCH
+        syntax, /root/reference/src/index/sqlite_search_index.py:110-113,
+        so 'tok*' is part of its user-facing query surface).
+
+        The segment scan filters term.startswith(prefix), which Spark
+        pushes into parquet as StringStartsWith — term-sorted segments
+        row-group-prune to the prefix's vocab slice, so the scan cost
+        scales with the matching vocabulary, not the index. Docs are
+        shard-partitioned, so the per-shard posting-list merge (one
+        vectorized sort + reduceat) is globally complete per doc."""
+        norm = self.query_terms_ordered(prefix.rstrip("*"))
+        if len(norm) != 1:
+            raise ValueError(
+                f"prefix query must normalize to exactly one token, got "
+                f"{norm!r} from {prefix!r}")
+        seg = self._segments.filter(
+            F.col("term").startswith(norm[0])).select(*self._SCORE_COLS)
+        if not self._cached_by_shard:
+            seg = seg.repartition(self._query_partitions, "shard")
+
+        def run(batches):
+            import numpy as np
+
+            from .codec import decode_postings
+
+            pdf = _concat(batches)
+            if pdf is None:
+                return
+            for _, g in pdf.groupby("shard", sort=False):
+                ids_l, tfs_l, dls_l = [], [], []
+                for _, r in g.iterrows():
+                    ids, tfs, dls = decode_postings(r)
+                    ids_l.append(ids)
+                    tfs_l.append(tfs)
+                    dls_l.append(dls)
+                ids = np.concatenate(ids_l)
+                tfs = np.concatenate(tfs_l)
+                dls = np.concatenate(dls_l)
+                order = np.argsort(ids, kind="stable")
+                ids, tfs, dls = ids[order], tfs[order], dls[order]
+                uniq, starts = np.unique(ids, return_index=True)
+                yield pd.DataFrame({
+                    "doc_id": uniq,
+                    "tf": np.add.reduceat(tfs, starts).astype(np.int64),
+                    "doclen": dls[starts],
+                })
+
+        return seg.mapInPandas(run, schema="doc_id long, tf long, doclen long")
+
+    def prefix_topk(self, prefix: str, k: int = 10) -> DataFrame:
+        """FTS5 prefix-query ('tok*') top-k BM25 — the prefix is ONE
+        virtual term (tf = occurrences of any matching vocab term, df =
+        docs with at least one match), rank-identical to FTS5's own
+        'tok*' MATCH scoring."""
+        return self._virtual_term_topk(self.prefix_matches(prefix), k)
 
     def query_terms_ordered(self, query: str) -> list[str]:
         from ..analyzer import tokenize_text

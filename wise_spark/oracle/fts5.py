@@ -86,3 +86,22 @@ class Fts5Oracle:
             .head(k)
             .reset_index(drop=True)
         )
+
+    def prefix_topk(self, prefix: str, k: int = 10) -> pd.DataFrame:
+        """Prefix-token MATCH ('tok*') — the reference forwards raw FTS5
+        syntax (src/index/sqlite_search_index.py:110-113), so prefix
+        queries are part of its user-facing surface."""
+        toks = tokenize_text(prefix.rstrip("*"))
+        if len(toks) != 1:
+            raise ValueError(f"prefix must normalize to one token: {prefix!r}")
+        rows = self.con.execute(
+            "SELECT rowid, -bm25(d) FROM d WHERE d MATCH ?", (f'"{toks[0]}" *',)
+        ).fetchall()
+        out = pd.DataFrame(rows, columns=["doc_id", "score"]).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+        return (
+            out.sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )

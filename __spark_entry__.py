@@ -772,6 +772,20 @@ def q_text_pii_stats(spark, sf_dir):
         "doc_id")
 
 
+def q_ft_near(spark, sf_dir):
+    """FTS5 NEAR("spark" "merge", 5): proximity-constrained BM25 with
+    participating-instance tfs and standalone dfs (rank-identical to
+    FTS5's NEAR scoring, pinned by the fuzz suite)."""
+    _ship(spark)
+    idx = _get_index(spark, sf_dir)
+    pool = idx.near_topk("spark", "merge", n=5, k=100)
+    return (
+        pool.withColumn("score", F.round("score", 9))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(40)
+    )
+
+
 def q_url_domain_stats(spark, sf_dir):
     """Per-host corpus profile over the messy-URL surface — the input to
     domain-level curation (C4/Gopher-style allow/deny lists, per-domain
@@ -1117,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_parsed_and": q_ft_parsed_and,
         "ft_phrase": q_ft_phrase,
         "ft_prefix": q_ft_prefix,
+        "ft_near": q_ft_near,
         "ft_phrase_fts5": q_ft_phrase_fts5,
         "ft_not_in": q_ft_not_in,
         "ft_and_merge": q_ft_and_merge,
@@ -1852,6 +1867,41 @@ shp AS (
 SELECT c.doc_id, p.probe_id, CAST(count(*) AS BIGINT) AS shared_shingles
 FROM shc c JOIN shp p USING (shingle)
 GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_id, probe_id
+"""
+    sqls["ft_near"] = f"""
+WITH {_TOK_CTE},
+base AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+pos AS (SELECT doc_id, i AS p, toks[i+1] AS term
+        FROM base, UNNEST(range(0, len(toks))) AS r(i)),
+pa AS (SELECT doc_id, p FROM pos WHERE term = 'spark'),
+pb AS (SELECT doc_id, p FROM pos WHERE term = 'merge'),
+dfa AS (SELECT count(DISTINCT doc_id) AS df FROM pa),
+dfb AS (SELECT count(DISTINCT doc_id) AS df FROM pb),
+ntfa AS (
+  SELECT doc_id, count(*) AS ntf FROM (
+    SELECT DISTINCT a.doc_id, a.p FROM pa a
+    JOIN pb b ON a.doc_id = b.doc_id AND abs(a.p - b.p) - 1 <= 5
+  ) GROUP BY doc_id
+),
+ntfb AS (
+  SELECT doc_id, count(*) AS ntf FROM (
+    SELECT DISTINCT b.doc_id, b.p FROM pb b
+    JOIN pa a ON a.doc_id = b.doc_id AND abs(a.p - b.p) - 1 <= 5
+  ) GROUP BY doc_id
+)
+SELECT na.doc_id,
+       round((CASE WHEN ln((st.n_docs - dfa.df + 0.5)/(dfa.df + 0.5)) <= 0
+                   THEN 0.000001
+                   ELSE ln((st.n_docs - dfa.df + 0.5)/(dfa.df + 0.5)) END)
+             * (na.ntf * 2.2) / (na.ntf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl))
+           + (CASE WHEN ln((st.n_docs - dfb.df + 0.5)/(dfb.df + 0.5)) <= 0
+                   THEN 0.000001
+                   ELSE ln((st.n_docs - dfb.df + 0.5)/(dfb.df + 0.5)) END)
+             * (nb.ntf * 2.2) / (nb.ntf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)),
+             9) AS score
+FROM ntfa na JOIN ntfb nb USING (doc_id) JOIN dl USING (doc_id)
+CROSS JOIN st CROSS JOIN dfa CROSS JOIN dfb
+ORDER BY score DESC, doc_id ASC LIMIT 40
 """
     sqls["url_domain_stats"] = f"""
 WITH raw AS (

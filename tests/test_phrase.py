@@ -179,3 +179,66 @@ def test_prefix_matches_brute_force(pos_index):
     assert got == want
     with pytest.raises(ValueError, match="one token"):
         idx.prefix_matches("two words*")
+
+
+def test_near_topk_rank_identical_to_fts5(pos_index):
+    """NEAR(a b, N): matching docs, ranks, AND scores identical to FTS5
+    across tight/loose windows, reversed-order occurrences, phrase
+    operands, and a no-match pair."""
+    if not fts5_available():
+        pytest.skip("no FTS5 in this sqlite build")
+    idx, pdf = pos_index
+    from collections import Counter
+
+    vocab = Counter(t for text in pdf["text"] for t in tokenize_text(text))
+    common = [t for t, _ in vocab.most_common(6)]
+    ph = _pick_phrase(pdf, 2)
+    cases = [
+        (common[0], common[1], 0),
+        (common[0], common[1], 2),
+        (common[2], common[3], 10),
+        (common[4], common[5], 1),
+        (ph, common[0], 3),            # phrase operand
+        (common[0], "zzznope", 5),     # one side never matches
+    ]
+    ora = Fts5Oracle(pdf)
+    for a, b, n in cases:
+        ours = idx.near_topk(a, b, n=n, k=15).collect()
+        ref = ora.near_topk(a, b, n=n, k=15)
+        assert [r["doc_id"] for r in ours] == ref["doc_id"].tolist(), (a, b, n)
+        assert np.allclose(
+            [r["score"] for r in ours], ref["score"].to_numpy(), atol=1e-9
+        ), (a, b, n)
+
+
+def test_near_fuzz_rank_identical_to_fts5(pos_index):
+    """Seeded sweep: random vocab pairs (terms AND 2-token phrases) x
+    random N — every case rank- and score-identical to FTS5's NEAR."""
+    if not fts5_available():
+        pytest.skip("no FTS5 in this sqlite build")
+    import random
+
+    idx, pdf = pos_index
+    from collections import Counter
+
+    vocab = [t for t, c in Counter(
+        t for text in pdf["text"] for t in tokenize_text(text)
+    ).items() if c >= 5]
+    rng = random.Random(17)
+    ora = Fts5Oracle(pdf)
+    for trial in range(20):
+        a = rng.choice(vocab)
+        b = rng.choice(vocab)
+        if a == b:
+            continue
+        if trial % 4 == 0:   # phrase operand drawn from real text
+            toks = tokenize_text(pdf["text"].iloc[rng.randrange(len(pdf))])
+            i = rng.randrange(max(len(toks) - 1, 1))
+            a = " ".join(toks[i:i + 2]) or a
+        n = rng.choice([0, 1, 2, 5, 10, 25])
+        ours = idx.near_topk(a, b, n=n, k=20).collect()
+        ref = ora.near_topk(a, b, n=n, k=20)
+        assert [r["doc_id"] for r in ours] == ref["doc_id"].tolist(), (a, b, n)
+        assert np.allclose(
+            [r["score"] for r in ours], ref["score"].to_numpy(), atol=1e-9
+        ), (a, b, n)

@@ -35,6 +35,78 @@ def _concat(batches) -> pd.DataFrame | None:
     return pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
 
 
+def _shard_phrase_occurrences(rows: dict, seq: list[str], prune: bool = True):
+    """Vectorized exact-phrase scan over ONE shard's {term: segment row}.
+
+    Returns (occ_doc, occ_start, doc_ids, doc_tf, doc_len) — occurrence
+    arrays sorted by (doc, start), per-doc aggregates sorted by doc — or
+    None when the shard has no full match. Two-stage (prune=True):
+    postings-only rarest-term intersection first, then positions decoded
+    ONLY for intersection docs (codec.decode_positions_subset) — the
+    phrase analog of WAND's rarest-term bounding. prune=False keeps the
+    single-stage full-decode path for A/B identity tests."""
+    import numpy as np
+
+    from .codec import decode_positions_subset, decode_postings
+
+    if any(t not in rows for t in seq):
+        return None
+    uniq = sorted(set(seq))
+    # stage 1: postings-only candidate intersection, smallest list first so
+    # the running set collapses as early as possible (ids are sorted unique
+    # within a shard list)
+    decoded = {t: decode_postings(rows[t]) for t in uniq}
+    docs = None
+    for t in sorted(uniq, key=lambda t: decoded[t][0].size):
+        docs = decoded[t][0] if docs is None else np.intersect1d(
+            docs, decoded[t][0], assume_unique=True)
+        if docs.size == 0:
+            break
+    if docs.size == 0:
+        return None
+    ids0, _, dls0 = decoded[seq[0]]
+    # doc_ids are int64 (10^12-doc target: ids exceed 2^31, so
+    # ids * 2^32 + pos would overflow int64). Key on LOCAL dense codes in
+    # term 0's sorted list — every candidate is in it, so the composite
+    # (code, pos) key always fits: code < |list_0| < 2^31, pos < 2^32.
+    keys = None
+    for i, t in enumerate(seq):
+        ids, tfs, _ = decoded[t]
+        if prune:
+            idx = np.searchsorted(docs, ids)
+            idx_c = np.minimum(idx, docs.size - 1)
+            keep = docs[idx_c] == ids
+        else:
+            keep = np.ones(ids.size, dtype=bool)
+        # stage 2: candidate-bounded position decode
+        pos = decode_positions_subset(bytes(rows[t]["positions"]), tfs, keep)
+        kids, ktfs = ids[keep], tfs[keep]
+        # ids0 is non-empty here: stage 1 returned unless the intersection
+        # (which includes seq[0]'s list) is non-empty
+        c = np.minimum(np.searchsorted(ids0, kids), ids0.size - 1)
+        valid = ids0[c] == kids
+        vmask = np.repeat(valid, ktfs) & (pos >= i)
+        k = (np.repeat(c, ktfs)[vmask] << np.int64(32)) + pos[vmask] - i
+        keys = k if keys is None else np.intersect1d(
+            keys, k, assume_unique=True)
+        if keys.size == 0:
+            return None
+    if keys is None or keys.size == 0:
+        return None
+    code = (keys >> 32).astype(np.int64)
+    occ_doc = ids0[code]
+    occ_start = (keys & np.int64(0xFFFFFFFF)).astype(np.int64)
+    uniq_code, counts = np.unique(code, return_counts=True)
+    return (
+        occ_doc,
+        occ_start,
+        ids0[uniq_code],
+        counts.astype(np.int64),
+        # doclen via the same local code (every match contains term 0)
+        dls0[uniq_code],
+    )
+
+
 # Serving-mode size guards: above these, cache=True silently degrades to the
 # pruned-scan path for that piece (a 10^9-term vocabulary dict or a
 # multi-TB segment set must never be pinned wholesale; queries stay exact
@@ -283,74 +355,17 @@ class FtsIndex:
             return empty
 
         def run(batches):
-            import numpy as np
-
-            from .codec import (
-                decode_positions_subset,
-                decode_postings,
-            )
-
             pdf = _concat(batches)
             if pdf is None:
                 return
             for _, g in pdf.groupby("shard", sort=False):
                 rows = {r["term"]: r for _, r in g.iterrows()}
-                if any(t not in rows for t in seq):
+                res = _shard_phrase_occurrences(rows, seq, prune)
+                if res is None:
                     continue
-                # stage 1: postings-only candidate intersection, smallest
-                # list first so the running set collapses as early as
-                # possible (ids are sorted unique within a shard list)
-                decoded = {t: decode_postings(rows[t]) for t in uniq}
-                docs = None
-                for t in sorted(uniq, key=lambda t: decoded[t][0].size):
-                    docs = decoded[t][0] if docs is None else np.intersect1d(
-                        docs, decoded[t][0], assume_unique=True)
-                    if docs.size == 0:
-                        break
-                if docs.size == 0:
-                    continue
-                ids0, _, dls0 = decoded[seq[0]]
-                # doc_ids are int64 (10^12-doc target: ids exceed 2^31, so
-                # ids * 2^32 + pos would overflow int64). Key on LOCAL dense
-                # codes in term 0's sorted list — every candidate is in it,
-                # so the composite (code, pos) key always fits:
-                # code < |list_0| < 2^31, pos < 2^32.
-                keys = None
-                for i, t in enumerate(seq):
-                    ids, tfs, _ = decoded[t]
-                    if prune:
-                        idx = np.searchsorted(docs, ids)
-                        idx_c = np.minimum(idx, docs.size - 1)
-                        keep = docs[idx_c] == ids
-                    else:
-                        keep = np.ones(ids.size, dtype=bool)
-                    # stage 2: candidate-bounded position decode
-                    pos = decode_positions_subset(
-                        bytes(rows[t]["positions"]), tfs, keep)
-                    kids, ktfs = ids[keep], tfs[keep]
-                    # ids0 is non-empty here: stage 1 `continue`d unless the
-                    # intersection (which includes seq[0]'s list) is non-empty
-                    c = np.minimum(np.searchsorted(ids0, kids), ids0.size - 1)
-                    valid = ids0[c] == kids
-                    vmask = np.repeat(valid, ktfs) & (pos >= i)
-                    k = (np.repeat(c, ktfs)[vmask] << np.int64(32)) + pos[vmask] - i
-                    keys = k if keys is None else np.intersect1d(
-                        keys, k, assume_unique=True)
-                    if keys.size == 0:
-                        break
-                if keys is None or keys.size == 0:
-                    continue
-                code = (keys >> 32).astype(np.int64)
-                uniq_code, counts = np.unique(code, return_counts=True)
+                _, _, d_ids, d_tf, d_dl = res
                 yield pd.DataFrame(
-                    {
-                        "doc_id": ids0[uniq_code],
-                        "tf": counts.astype(np.int64),
-                        # doclen via the same local code (every match
-                        # contains term 0)
-                        "doclen": dls0[uniq_code],
-                    }
-                )
+                    {"doc_id": d_ids, "tf": d_tf, "doclen": d_dl})
 
         return self._shard_partitioned(uniq, with_positions=True).mapInPandas(
             run, schema="doc_id long, tf long, doclen long"
@@ -447,6 +462,131 @@ class FtsIndex:
         docs with at least one match), rank-identical to FTS5's own
         'tok*' MATCH scoring."""
         return self._virtual_term_topk(self.prefix_matches(prefix), k)
+
+    # -- NEAR queries ----------------------------------------------------------
+
+    def near_relation(self, phrase_a: str, phrase_b: str,
+                      n: int = 10) -> DataFrame:
+        """(doc_id, tf_a, tf_b, near_tf_a, near_tf_b, doclen, near) for
+        every doc containing EITHER phrase. `near` is FTS5's
+        NEAR("a..." "b...", N) predicate — some occurrence pair has at most
+        N tokens between the phrase boundaries, order-insensitive
+        (adjacent = gap 0, overlap counts). near_tf_* count only the
+        occurrences PARTICIPATING in at least one near pair — FTS5's
+        bm25() scores NEAR groups with those, not the full tfs (pinned
+        empirically: a far-away extra instance does not raise the score),
+        while each phrase's df stays its standalone matching-doc count
+        (tf_* > 0). One positional kernel per shard computes both phrases'
+        occurrences (_shard_phrase_occurrences — candidate-bounded decode)
+        and the min-gap tests as two symmetric merges over the sorted
+        (doc, start) arrays."""
+        if not self.meta.extras.get("with_positions"):
+            raise ValueError("index was built without positions (with_positions=True)")
+        seq_a = self.query_terms_ordered(phrase_a)
+        seq_b = self.query_terms_ordered(phrase_b)
+        if not seq_a or not seq_b:
+            raise ValueError("NEAR needs two non-empty phrases")
+        len_a, len_b = len(seq_a), len(seq_b)
+        terms = sorted(set(seq_a) | set(seq_b))
+        schema = ("doc_id long, tf_a long, tf_b long, near_tf_a long, "
+                  "near_tf_b long, doclen long, near boolean")
+
+        def run(batches):
+            import numpy as np
+
+            def participants(k_self, st_self, c_self, L_self,
+                             k_other, st_other, c_other, L_other):
+                """Mask of self-occurrences having some other-phrase
+                occurrence in the same doc within gap <= n (checking the
+                nearest other occurrence on each side is sufficient for
+                the minimum gap)."""
+                j = np.searchsorted(k_other, k_self)
+                jp = np.maximum(j - 1, 0)
+                pred_ok = (j > 0) & ((k_other[jp] >> np.int64(32)) == c_self)
+                gap_pred = st_self - ((k_other[jp] & np.int64(0xFFFFFFFF))
+                                      + L_other - 1) - 1
+                js = np.minimum(j, k_other.size - 1)
+                succ_ok = (j < k_other.size) & (
+                    (k_other[js] >> np.int64(32)) == c_self)
+                gap_succ = (k_other[js] & np.int64(0xFFFFFFFF)) - (
+                    st_self + L_self - 1) - 1
+                return (pred_ok & (gap_pred <= n)) | (succ_ok & (gap_succ <= n))
+
+            pdf = _concat(batches)
+            if pdf is None:
+                return
+            for _, g in pdf.groupby("shard", sort=False):
+                rows = {r["term"]: r for _, r in g.iterrows()}
+                ra = _shard_phrase_occurrences(rows, seq_a)
+                rb = _shard_phrase_occurrences(rows, seq_b)
+                if ra is None and rb is None:
+                    continue
+                empty = (np.empty(0, np.int64),) * 5
+                oa_doc, oa_st, da, ta, dla = ra if ra is not None else empty
+                ob_doc, ob_st, db, tb, dlb = rb if rb is not None else empty
+                ud = np.union1d(da, db)
+                # align per-doc tf/doclen onto the union doc list
+                tf_a = np.zeros(ud.size, np.int64)
+                tf_b = np.zeros(ud.size, np.int64)
+                ntf_a = np.zeros(ud.size, np.int64)
+                ntf_b = np.zeros(ud.size, np.int64)
+                dl = np.zeros(ud.size, np.int64)
+                ia = np.searchsorted(ud, da)
+                ib = np.searchsorted(ud, db)
+                tf_a[ia], tf_b[ib] = ta, tb
+                dl[ia], dl[ib] = dla, dlb
+                if oa_doc.size and ob_doc.size:
+                    # local doc codes (int64 ids don't fit a composite key)
+                    ca = np.searchsorted(ud, oa_doc)
+                    cb = np.searchsorted(ud, ob_doc)
+                    ka = (ca << np.int64(32)) + oa_st  # sorted by (doc, start)
+                    kb = (cb << np.int64(32)) + ob_st
+                    hit_a = participants(ka, oa_st, ca, len_a,
+                                         kb, ob_st, cb, len_b)
+                    hit_b = participants(kb, ob_st, cb, len_b,
+                                         ka, oa_st, ca, len_a)
+                    ntf_a += np.bincount(ca[hit_a], minlength=ud.size)
+                    ntf_b += np.bincount(cb[hit_b], minlength=ud.size)
+                yield pd.DataFrame({
+                    "doc_id": ud, "tf_a": tf_a, "tf_b": tf_b,
+                    "near_tf_a": ntf_a, "near_tf_b": ntf_b,
+                    "doclen": dl, "near": ntf_a > 0,
+                })
+
+        return self._shard_partitioned(terms, with_positions=True).mapInPandas(
+            run, schema=schema)
+
+    def near_topk(self, phrase_a: str, phrase_b: str, n: int = 10,
+                  k: int = 10) -> DataFrame:
+        """FTS5 NEAR("a..." "b...", N) top-k BM25 — rank-identical to FTS5
+        (the reference forwards raw MATCH syntax). Scoring, pinned
+        empirically against FTS5: each phrase contributes its standard
+        BM25 term with df = its STANDALONE matching-doc count but
+        tf = only the occurrences PARTICIPATING in a near pair (an extra
+        far-away instance does not raise the score)."""
+        from ..query.bm25 import idf_scalar, tf_component_col
+
+        rel = self.near_relation(phrase_a, phrase_b, n).localCheckpoint(
+            eager=True)
+        counts = rel.agg(
+            F.sum(F.when(F.col("tf_a") > 0, 1).otherwise(0)).alias("df_a"),
+            F.sum(F.when(F.col("tf_b") > 0, 1).otherwise(0)).alias("df_b"),
+        ).collect()[0]
+        df_a, df_b = int(counts["df_a"] or 0), int(counts["df_b"] or 0)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if df_a == 0 or df_b == 0:
+            return empty
+        idf_a = idf_scalar(df_a, self.meta.n_docs)
+        idf_b = idf_scalar(df_b, self.meta.n_docs)
+        scored = rel.filter("near").select(
+            "doc_id",
+            (F.lit(idf_a) * tf_component_col(F.col("near_tf_a"),
+                                             F.col("doclen"), self.meta.avgdl)
+             + F.lit(idf_b) * tf_component_col(F.col("near_tf_b"),
+                                               F.col("doclen"),
+                                               self.meta.avgdl)).alias("score"),
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def query_terms_ordered(self, query: str) -> list[str]:
         from ..analyzer import tokenize_text

@@ -105,3 +105,23 @@ class Fts5Oracle:
             .head(k)
             .reset_index(drop=True)
         )
+
+    def near_topk(self, phrase_a: str, phrase_b: str, n: int = 10,
+                  k: int = 10) -> pd.DataFrame:
+        """NEAR("a" "b", N) MATCH — reachable through the reference's raw
+        FTS5 surface like phrases and prefixes."""
+        ta, tb = tokenize_text(phrase_a), tokenize_text(phrase_b)
+        if not ta or not tb:
+            raise ValueError("NEAR needs two non-empty phrases")
+        expr = f'NEAR("{" ".join(ta)}" "{" ".join(tb)}", {int(n)})'
+        rows = self.con.execute(
+            "SELECT rowid, -bm25(d) FROM d WHERE d MATCH ?", (expr,)
+        ).fetchall()
+        out = pd.DataFrame(rows, columns=["doc_id", "score"]).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+        return (
+            out.sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )

@@ -786,6 +786,19 @@ def q_ft_near(spark, sf_dir):
     )
 
 
+def q_ft_initial(spark, sf_dir):
+    """FTS5 '^customer' initial-token anchor: docs whose text STARTS with
+    the token, scored as one anchored virtual term."""
+    _ship(spark)
+    idx = _get_index(spark, sf_dir)
+    pool = idx.initial_topk("customer", k=100)
+    return (
+        pool.withColumn("score", F.round("score", 9))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(40)
+    )
+
+
 def q_url_domain_stats(spark, sf_dir):
     """Per-host corpus profile over the messy-URL surface — the input to
     domain-level curation (C4/Gopher-style allow/deny lists, per-domain
@@ -1132,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase": q_ft_phrase,
         "ft_prefix": q_ft_prefix,
         "ft_near": q_ft_near,
+        "ft_initial": q_ft_initial,
         "ft_phrase_fts5": q_ft_phrase_fts5,
         "ft_not_in": q_ft_not_in,
         "ft_and_merge": q_ft_and_merge,
@@ -1901,6 +1915,22 @@ SELECT na.doc_id,
              9) AS score
 FROM ntfa na JOIN ntfb nb USING (doc_id) JOIN dl USING (doc_id)
 CROSS JOIN st CROSS JOIN dfa CROSS JOIN dfb
+ORDER BY score DESC, doc_id ASC LIMIT 40
+"""
+    sqls["ft_initial"] = f"""
+WITH {_TOK_CTE},
+m AS (
+  SELECT doc_id, 1 AS tf FROM (SELECT doc_id, {_TOK_SQL} AS toks FROM documents)
+  WHERE len(toks) > 0 AND toks[1] = 'customer'
+),
+vd AS (SELECT count(*) AS df FROM m)
+SELECT doc_id,
+       round((CASE WHEN ln((st.n_docs - vd.df + 0.5)/(vd.df + 0.5)) <= 0
+                   THEN 0.000001
+                   ELSE ln((st.n_docs - vd.df + 0.5)/(vd.df + 0.5)) END)
+             * (m.tf * 2.2) / (m.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)),
+             9) AS score
+FROM m JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN vd
 ORDER BY score DESC, doc_id ASC LIMIT 40
 """
     sqls["url_domain_stats"] = f"""

@@ -269,7 +269,7 @@ def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
         # round-5 additions (not in r2-r4 runs — totals are not comparable
         # across rounds without subtracting these; per-query map is)
         "url_domain_stats", "url_domain_sample", "dedup_decontaminate",
-        "text_pii_stats",
+        "text_pii_stats", "ft_prefix", "ft_near", "ft_initial",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

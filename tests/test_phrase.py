@@ -242,3 +242,22 @@ def test_near_fuzz_rank_identical_to_fts5(pos_index):
         assert np.allclose(
             [r["score"] for r in ours], ref["score"].to_numpy(), atol=1e-9
         ), (a, b, n)
+
+
+def test_initial_topk_rank_identical_to_fts5(pos_index):
+    """'^tok' and '^"two tokens"' anchored matches: rank- and
+    score-identical to FTS5."""
+    if not fts5_available():
+        pytest.skip("no FTS5 in this sqlite build")
+    idx, pdf = pos_index
+    # first tokens of real docs guarantee non-empty matches
+    firsts = {tokenize_text(t)[0] for t in pdf["text"][:50] if tokenize_text(t)}
+    two = " ".join(tokenize_text(pdf["text"].iloc[0])[:2])
+    ora = Fts5Oracle(pdf)
+    for q in sorted(firsts)[:4] + [two, "zzznope"]:
+        ours = idx.initial_topk(q, k=15).collect()
+        ref = ora.initial_topk(q, k=15)
+        assert [r["doc_id"] for r in ours] == ref["doc_id"].tolist(), q
+        assert np.allclose(
+            [r["score"] for r in ours], ref["score"].to_numpy(), atol=1e-9
+        ), q

@@ -463,6 +463,56 @@ class FtsIndex:
         'tok*' MATCH scoring."""
         return self._virtual_term_topk(self.prefix_matches(prefix), k)
 
+    def initial_matches(self, phrase: str) -> DataFrame:
+        """FTS5 '^...' initial-token match: (doc_id, tf, doclen) for docs
+        whose column STARTS with the phrase (occurrence at token position
+        0 — tf is 1 by construction; FTS5 scores only the anchored
+        instance, pinned empirically). Same candidate-bounded positional
+        kernel as phrase_matches, with the occurrence set filtered to
+        start == 0."""
+        if not self.meta.extras.get("with_positions"):
+            raise ValueError("index was built without positions (with_positions=True)")
+        seq = self.query_terms_ordered(phrase.lstrip("^"))
+        empty = self.spark.createDataFrame([], "doc_id long, tf long, doclen long")
+        if not seq:
+            return empty
+        uniq = sorted(set(seq))
+        dfs = self.term_stats(uniq)
+        if any(t not in dfs for t in uniq):
+            return empty
+
+        def run(batches):
+            import numpy as np
+
+            pdf = _concat(batches)
+            if pdf is None:
+                return
+            for _, g in pdf.groupby("shard", sort=False):
+                rows = {r["term"]: r for _, r in g.iterrows()}
+                res = _shard_phrase_occurrences(rows, seq)
+                if res is None:
+                    continue
+                occ_doc, occ_start, d_ids, _, d_dl = res
+                hit = occ_doc[occ_start == 0]
+                if not hit.size:
+                    continue
+                dl = d_dl[np.searchsorted(d_ids, hit)]
+                yield pd.DataFrame({
+                    "doc_id": hit,
+                    "tf": np.ones(hit.size, dtype=np.int64),
+                    "doclen": dl,
+                })
+
+        return self._shard_partitioned(uniq, with_positions=True).mapInPandas(
+            run, schema="doc_id long, tf long, doclen long"
+        )
+
+    def initial_topk(self, phrase: str, k: int = 10) -> DataFrame:
+        """FTS5 '^phrase' top-k BM25 — one virtual term anchored at the
+        column start (df = matching docs, tf = the single anchored
+        instance), rank-identical to FTS5's '^' MATCH scoring."""
+        return self._virtual_term_topk(self.initial_matches(phrase), k)
+
     # -- NEAR queries ----------------------------------------------------------
 
     def near_relation(self, phrase_a: str, phrase_b: str,

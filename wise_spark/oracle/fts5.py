@@ -125,3 +125,22 @@ class Fts5Oracle:
             .head(k)
             .reset_index(drop=True)
         )
+
+    def initial_topk(self, phrase: str, k: int = 10) -> pd.DataFrame:
+        """'^phrase' MATCH (initial-token anchor) — raw FTS5 surface."""
+        toks = tokenize_text(phrase.lstrip("^"))
+        if not toks:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        expr = '^"' + " ".join(toks) + '"'
+        rows = self.con.execute(
+            "SELECT rowid, -bm25(d) FROM d WHERE d MATCH ?", (expr,)
+        ).fetchall()
+        out = pd.DataFrame(rows, columns=["doc_id", "score"]).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+        return (
+            out.sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )

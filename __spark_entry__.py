@@ -1933,6 +1933,8 @@ SELECT doc_id,
 FROM m JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN vd
 ORDER BY score DESC, doc_id ASC LIMIT 40
 """
+    from wise_spark.pipeline.urls import HOST_RE as HOST_RE_SQL
+
     sqls["url_domain_stats"] = f"""
 WITH raw AS (
   SELECT r.doc_id, r.raw_url, d.text
@@ -1941,24 +1943,28 @@ WITH raw AS (
 per_doc AS (
   SELECT
     NULLIF(regexp_replace(
-      regexp_extract(lower(raw_url), '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1),
+      regexp_extract(lower(raw_url), '{HOST_RE_SQL}', 1),
       '^www[.]', '', ''), '') AS host,
     CAST(len({_TOK_SQL}) AS BIGINT) AS n_toks,
     {_canon} AS canon
   FROM raw
 )
-SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-       round(avg(n_toks), 6) AS avg_doc_tokens,
-       CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical_urls
-FROM per_doc GROUP BY host ORDER BY host
+SELECT host, n_docs, n_tokens,
+       CAST((n_tokens * 1000000) // n_docs AS BIGINT) AS avg_tokens_ppm,
+       n_canonical_urls
+FROM (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical_urls
+  FROM per_doc GROUP BY host
+) ORDER BY host
 """
     sqls["url_domain_sample"] = f"""
 WITH raw AS ({_RAW_URL_SQL}),
 hosted AS (
   SELECT doc_id,
     NULLIF(regexp_replace(
-      regexp_extract(lower(raw_url), '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1),
+      regexp_extract(lower(raw_url), '{HOST_RE_SQL}', 1),
       '^www[.]', '', ''), '') AS host
   FROM raw
 ),

@@ -228,9 +228,10 @@ def test_near_fuzz_rank_identical_to_fts5(pos_index):
     ora = Fts5Oracle(pdf)
     for trial in range(20):
         a = rng.choice(vocab)
-        b = rng.choice(vocab)
-        if a == b:
-            continue
+        # identical operands stay in: FTS5 lets an occurrence pair with
+        # itself (probed: NEAR("t" "t", 0) matches single-instance docs
+        # with every instance participating), and so does our kernel
+        b = a if trial % 7 == 0 else rng.choice(vocab)
         if trial % 4 == 0:   # phrase operand drawn from real text
             toks = tokenize_text(pdf["text"].iloc[rng.randrange(len(pdf))])
             i = rng.randrange(max(len(toks) - 1, 1))

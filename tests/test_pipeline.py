@@ -917,6 +917,7 @@ def test_extract_host_and_domain_stats(spark):
             (1, "http://news.example.com/b", "delta epsilon"),
             (2, "https://other.org/", ""),                  # zero tokens
             (3, "not a url at all", "zeta"),                # NULL host
+            (4, "https://bob:pw@News.example.com/y", "eta"), # userinfo
         ],
         "doc_id long, url string, text string",
     )
@@ -926,11 +927,12 @@ def test_extract_host_and_domain_stats(spark):
     assert hosts[1] == "news.example.com"
     assert hosts[2] == "other.org"
     assert hosts[3] is None
+    assert hosts[4] == "news.example.com"   # userinfo skipped
 
     stats = {r["host"]: r for r in domain_stats(docs).collect()}
     ex = stats["news.example.com"]
-    assert (ex["n_docs"], ex["n_tokens"], ex["n_canonical_urls"]) == (2, 5, 2)
-    assert ex["avg_doc_tokens"] == 2.5
+    assert (ex["n_docs"], ex["n_tokens"], ex["n_canonical_urls"]) == (3, 6, 3)
+    assert ex["avg_tokens_ppm"] == 2_000_000
     assert stats["other.org"]["n_tokens"] == 0
     assert stats[None]["n_docs"] == 1       # NULL-host group preserved
 

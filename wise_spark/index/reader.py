@@ -35,7 +35,8 @@ def _concat(batches) -> pd.DataFrame | None:
     return pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
 
 
-def _shard_phrase_occurrences(rows: dict, seq: list[str], prune: bool = True):
+def _shard_phrase_occurrences(rows: dict, seq: list[str], prune: bool = True,
+                              decoded_cache: dict | None = None):
     """Vectorized exact-phrase scan over ONE shard's {term: segment row}.
 
     Returns (occ_doc, occ_start, doc_ids, doc_tf, doc_len) — occurrence
@@ -55,7 +56,13 @@ def _shard_phrase_occurrences(rows: dict, seq: list[str], prune: bool = True):
     # stage 1: postings-only candidate intersection, smallest list first so
     # the running set collapses as early as possible (ids are sorted unique
     # within a shard list)
-    decoded = {t: decode_postings(rows[t]) for t in uniq}
+    # decoded_cache lets one caller (NEAR: two phrases sharing terms) pay
+    # each term's postings decode once per shard instead of once per phrase
+    cache = decoded_cache if decoded_cache is not None else {}
+    for t in uniq:
+        if t not in cache:
+            cache[t] = decode_postings(rows[t])
+    decoded = {t: cache[t] for t in uniq}
     docs = None
     for t in sorted(uniq, key=lambda t: decoded[t][0].size):
         docs = decoded[t][0] if docs is None else np.intersect1d(
@@ -545,7 +552,7 @@ class FtsIndex:
             import numpy as np
 
             def participants(k_self, st_self, c_self, L_self,
-                             k_other, st_other, c_other, L_other):
+                             k_other, L_other):
                 """Mask of self-occurrences having some other-phrase
                 occurrence in the same doc within gap <= n (checking the
                 nearest other occurrence on each side is sufficient for
@@ -567,8 +574,11 @@ class FtsIndex:
                 return
             for _, g in pdf.groupby("shard", sort=False):
                 rows = {r["term"]: r for _, r in g.iterrows()}
-                ra = _shard_phrase_occurrences(rows, seq_a)
-                rb = _shard_phrase_occurrences(rows, seq_b)
+                cache = {}
+                ra = _shard_phrase_occurrences(rows, seq_a,
+                                               decoded_cache=cache)
+                rb = _shard_phrase_occurrences(rows, seq_b,
+                                               decoded_cache=cache)
                 if ra is None and rb is None:
                     continue
                 empty = (np.empty(0, np.int64),) * 5
@@ -591,10 +601,8 @@ class FtsIndex:
                     cb = np.searchsorted(ud, ob_doc)
                     ka = (ca << np.int64(32)) + oa_st  # sorted by (doc, start)
                     kb = (cb << np.int64(32)) + ob_st
-                    hit_a = participants(ka, oa_st, ca, len_a,
-                                         kb, ob_st, cb, len_b)
-                    hit_b = participants(kb, ob_st, cb, len_b,
-                                         ka, oa_st, ca, len_a)
+                    hit_a = participants(ka, oa_st, ca, len_a, kb, len_b)
+                    hit_b = participants(kb, ob_st, cb, len_b, ka, len_a)
                     ntf_a += np.bincount(ca[hit_a], minlength=ud.size)
                     ntf_b += np.bincount(cb[hit_b], minlength=ud.size)
                 yield pd.DataFrame({

@@ -67,14 +67,10 @@ class Fts5Oracle:
     def topk(self, query: str, k: int = 10, mode: str = "all") -> pd.DataFrame:
         return self.score_all(query, mode).head(k).reset_index(drop=True)
 
-    def phrase_topk(self, phrase: str, k: int = 10) -> pd.DataFrame:
-        """Quoted-phrase MATCH (the reference passes quoted phrases straight
-        into FTS5, src/index/sqlite_search_index.py:110-113)."""
-        toks = tokenize_text(phrase)
-        if not toks:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float64")})
-        expr = '"' + " ".join(toks) + '"'
+    def _match_topk(self, expr: str, k: int) -> pd.DataFrame:
+        """Run one raw MATCH expression and shape the (doc_id, score)
+        result — single owner of the execute/astype/sort/head contract for
+        every raw-FTS5 query form (phrase/prefix/NEAR/initial)."""
         rows = self.con.execute(
             "SELECT rowid, -bm25(d) FROM d WHERE d MATCH ?", (expr,)
         ).fetchall()
@@ -86,6 +82,16 @@ class Fts5Oracle:
             .head(k)
             .reset_index(drop=True)
         )
+
+    def phrase_topk(self, phrase: str, k: int = 10) -> pd.DataFrame:
+        """Quoted-phrase MATCH (the reference passes quoted phrases straight
+        into FTS5, src/index/sqlite_search_index.py:110-113)."""
+        toks = tokenize_text(phrase)
+        if not toks:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        expr = '"' + " ".join(toks) + '"'
+        return self._match_topk(expr, k)
 
     def prefix_topk(self, prefix: str, k: int = 10) -> pd.DataFrame:
         """Prefix-token MATCH ('tok*') — the reference forwards raw FTS5
@@ -114,17 +120,7 @@ class Fts5Oracle:
         if not ta or not tb:
             raise ValueError("NEAR needs two non-empty phrases")
         expr = f'NEAR("{" ".join(ta)}" "{" ".join(tb)}", {int(n)})'
-        rows = self.con.execute(
-            "SELECT rowid, -bm25(d) FROM d WHERE d MATCH ?", (expr,)
-        ).fetchall()
-        out = pd.DataFrame(rows, columns=["doc_id", "score"]).astype(
-            {"doc_id": "int64", "score": "float64"}
-        )
-        return (
-            out.sort_values(["score", "doc_id"], ascending=[False, True])
-            .head(k)
-            .reset_index(drop=True)
-        )
+        return self._match_topk(expr, k)
 
     def initial_topk(self, phrase: str, k: int = 10) -> pd.DataFrame:
         """'^phrase' MATCH (initial-token anchor) — raw FTS5 surface."""
@@ -133,14 +129,4 @@ class Fts5Oracle:
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})
         expr = '^"' + " ".join(toks) + '"'
-        rows = self.con.execute(
-            "SELECT rowid, -bm25(d) FROM d WHERE d MATCH ?", (expr,)
-        ).fetchall()
-        out = pd.DataFrame(rows, columns=["doc_id", "score"]).astype(
-            {"doc_id": "int64", "score": "float64"}
-        )
-        return (
-            out.sort_values(["score", "doc_id"], ascending=[False, True])
-            .head(k)
-            .reset_index(drop=True)
-        )
+        return self._match_topk(expr, k)

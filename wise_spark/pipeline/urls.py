@@ -110,12 +110,19 @@ def url_duplicate_groups(
     )
 
 
+HOST_RE = "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
+
 def extract_host(col: Column | str) -> Column:
-    """Lowercased URL host with any leading 'www.' stripped; NULL when the
-    string has no scheme://host shape. Pure JVM regexp, Java/RE2-portable
-    (no lookbehind), so the DuckDB oracle runs the identical pattern."""
+    """Lowercased URL host with userinfo ('user:pass@') skipped and any
+    leading 'www.' stripped; NULL when the string has no scheme://host
+    shape. Pure JVM regexp, Java/RE2-portable (no lookbehind), so the
+    DuckDB oracle runs the identical pattern (HOST_RE is the single
+    owner). Known simplification: a bracketed IPv6 literal truncates at
+    its first ':' — an accepted key-convention tradeoff for crawl-scale
+    dedup keys, not a display parser."""
     u = F.lower(F.col(col) if isinstance(col, str) else col)
-    h = F.regexp_extract(u, "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
+    h = F.regexp_extract(u, HOST_RE, 1)
     h = F.regexp_replace(h, "^www[.]", "")
     return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
 
@@ -149,9 +156,20 @@ def domain_stats(
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_toks").alias("n_tokens"),
-            F.round(F.avg("n_toks"), 6).alias("avg_doc_tokens"),
             F.countDistinct("canon").alias("n_canonical_urls"),
         )
+        # mean doc tokens as EXACT integer parts-per-million: float round()
+        # of an avg() is a latent cross-engine flake (Spark HALF_UPs the
+        # decimal expansion of the binary double, DuckDB rounds the scaled
+        # double — a near-.5 7th digit can disagree); integer DIV is
+        # bit-identical everywhere. n_tokens*1e6 fits int64 up to ~9e12
+        # tokens per host.
+        .withColumn(
+            "avg_tokens_ppm",
+            F.expr("CAST((n_tokens * 1000000) DIV n_docs AS BIGINT)"),
+        )
+        .select("host", "n_docs", "n_tokens", "avg_tokens_ppm",
+                "n_canonical_urls")
     )
 
 

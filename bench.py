@@ -926,24 +926,28 @@ headline steal/probe — clean-vs-contended per-query claims are
 machine-checkable across rounds instead of living in prose.
 
 Round-5 definitive protocols (deadline 3300 s, shipped code):
-2026-08-20T16:39:42Z — 4 clean pairs, zero topped up, median **0.893**;
-2026-08-20T17:50:25Z (headline includes the four round-5 operators) — 5
-clean pairs, zero topped up, headline window itself clean (steal 0.31%),
-median **0.863**. Eighth and ninth consecutive post-fix protocols at or
-above the 0.8 bar.
+2026-08-20T16:39:42Z — 4 clean pairs, median **0.893**;
+2026-08-20T17:50:25Z — 5 clean pairs, median **0.863**;
+2026-08-20T19:24:04Z (FINAL, post-review code with the full 34-query
+headline) — 4 clean pairs, zero topped up, no deadline hit, headline
+window clean (steal 0.86%), median **0.903**, worst pair 0.884, query
+p50 0.405 s / p99 0.684 s. Eighth, ninth, and tenth consecutive post-fix
+protocols at or above the 0.8 bar.
 
 Round-5 headline notes: 16:39Z run 45.6 s over the 27 r4-era queries;
-17:50Z run 54.96 s over 31 queries (adds `url_domain_stats` 0.43 s,
-`url_domain_sample` 0.73 s, `dedup_decontaminate` 2.53 s,
-`text_pii_stats` 1.21 s — subtract ~4.9 s for cross-round total
-comparisons). ann_cosine_topk 0.996-1.53 s and dedup_simhash_pairs
-3.85-3.99 s confirm r4's contended snapshot (9.87 / 24.62 s) was weather;
-`ft_phrase` now runs the candidate-bounded two-stage position decode
-(postings-first rarest-term intersection + subset varbyte decode —
-codec-level 811 ms -> 114 ms at 1% candidate density on 6 M positions;
-rank identity pruned-vs-full pytest-enforced). Warm steady-state
-eval_map_bm25 re-measured at 1.73-1.98 s (the ~5 s bench figure is
-first-execution plan compilation).
+19:24Z FINAL run 61.2 s over 34 queries (adds `url_domain_stats` 0.43 s,
+`url_domain_sample` 0.73 s, `dedup_decontaminate` 2.5 s,
+`text_pii_stats` 1.2 s, and the new FTS5 forms `ft_prefix` 0.86 s,
+`ft_near` 0.81 s, `ft_initial` 0.90 s — subtract ~7.5 s for cross-round
+total comparisons; the per-query map is the comparable object).
+ann_cosine_topk 0.996-1.53 s and dedup_simhash_pairs 3.85-4.73 s confirm
+r4's contended snapshot (9.87 / 24.62 s) was weather; `ft_phrase` runs
+the candidate-bounded two-stage position decode (postings-first
+rarest-term intersection + subset varbyte decode — codec-level 811 ms ->
+114 ms at 1% candidate density on 6 M positions; rank identity
+pruned-vs-full pytest-enforced). Warm steady-state eval_map_bm25
+re-measured at 1.73-1.98 s (the ~3-5 s bench figure is first-execution
+plan compilation).
 
 ## Round-4 result summary (scaling-fix history)
 

@@ -799,6 +799,26 @@ def q_ft_initial(spark, sf_dir):
     )
 
 
+def q_text_line_dedup(spark, sf_dir):
+    """C4-style line-level dedup: boilerplate lines planted across half/a
+    third of the corpus are stripped; each doc's own content lines stay,
+    order preserved."""
+    from wise_spark.pipeline import strip_duplicate_lines
+
+    did = F.col("doc_id")
+    multiline = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(did % 2 == 0, F.lit("accept all cookies and continue")),
+            F.col("text"),
+            F.when(did % 3 == 0,
+                   F.lit("copyright example dot com all rights reserved")),
+        ).alias("text"),
+    )
+    return strip_duplicate_lines(multiline, min_df=5).orderBy("doc_id")
+
+
 def q_url_domain_stats(spark, sf_dir):
     """Per-host corpus profile over the messy-URL surface — the input to
     domain-level curation (C4/Gopher-style allow/deny lists, per-domain
@@ -1177,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_sample": q_url_domain_sample,
         "dedup_decontaminate": q_dedup_decontaminate,
         "text_pii_stats": q_text_pii_stats,
+        "text_line_dedup": q_text_line_dedup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "mm_binary_metadata": q_mm_binary_metadata,
         "mm_decode_image_stats": q_mm_decode_image_stats,
@@ -1932,6 +1953,31 @@ SELECT doc_id,
              9) AS score
 FROM m JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN vd
 ORDER BY score DESC, doc_id ASC LIMIT 40
+"""
+    sqls["text_line_dedup"] = """
+WITH src AS (
+  SELECT doc_id, concat_ws(chr(10),
+    CASE WHEN doc_id % 2 = 0 THEN 'accept all cookies and continue' END,
+    text,
+    CASE WHEN doc_id % 3 = 0
+         THEN 'copyright example dot com all rights reserved' END) AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i AS pos, ls[i + 1] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src),
+       UNNEST(range(0, len(ls))) AS r(i)
+),
+nb AS (SELECT * FROM lines WHERE length(trim(line)) > 0),
+dup AS (
+  SELECT line FROM (
+    SELECT line, count(*) AS df
+    FROM (SELECT DISTINCT doc_id, line FROM nb) GROUP BY line
+  ) WHERE df >= 5
+),
+kept AS (SELECT * FROM nb WHERE line NOT IN (SELECT line FROM dup))
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+FROM kept GROUP BY doc_id ORDER BY doc_id
 """
     from wise_spark.pipeline.urls import HOST_RE as HOST_RE_SQL
 

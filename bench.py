@@ -270,6 +270,7 @@ def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
         # across rounds without subtracting these; per-query map is)
         "url_domain_stats", "url_domain_sample", "dedup_decontaminate",
         "text_pii_stats", "ft_prefix", "ft_near", "ft_initial",
+        "text_line_dedup",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

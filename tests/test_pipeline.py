@@ -1011,3 +1011,28 @@ def test_pii_features_counts(spark):
                ("n_emails", "n_ipv4", "n_urls", "n_phones"))
     assert all(out[2][c] == 0 for c in
                ("n_emails", "n_ipv4", "n_urls", "n_phones"))
+
+
+def test_line_dedup_strips_boilerplate_preserving_order(spark):
+    from wise_spark.pipeline import duplicate_lines, strip_duplicate_lines
+
+    cookie = "accept all cookies"
+    nav = "home | about | contact"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{cookie}\nunique alpha\n{nav}\nunique beta"),
+            (1, f"{cookie}\n\nother gamma\n{nav}"),
+            (2, "totally unique document\nnothing shared here"),
+            (3, cookie),                       # becomes empty after strip
+        ],
+        "doc_id long, text string",
+    )
+    dup = {r["line"]: r["line_df"] for r in duplicate_lines(docs).collect()}
+    assert dup == {cookie: 3, nav: 2}
+
+    out = {r["doc_id"]: r["text"]
+           for r in strip_duplicate_lines(docs).collect()}
+    assert out[0] == "unique alpha\nunique beta"   # order preserved
+    assert out[1] == "other gamma"                 # blank line dropped too
+    assert out[2] == "totally unique document\nnothing shared here"
+    assert 3 not in out                            # all-boilerplate doc gone

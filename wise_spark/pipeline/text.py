@@ -357,3 +357,75 @@ def pii_features(
         F.regexp_count(t, F.lit(PII_URL_RE)).alias("n_urls"),
         F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phones"),
     )
+
+
+def duplicate_lines(
+    docs: DataFrame,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(line, line_df) for non-blank lines appearing in >= min_df distinct
+    documents — the detection half of C4's line-level dedup (Raffel et al.
+    2020 §2.2 removed any three-sentence-or-longer span occurring more than
+    once; the line granularity is the common production variant for
+    boilerplate like cookie banners and nav text).
+
+    Scale: one explode of per-doc DISTINCT lines (so df counts documents,
+    not occurrences), then a single map-side-combined groupBy keyed by the
+    line string — a hot boilerplate line costs its reducer one combined
+    count per upstream partition, never a row explosion."""
+    lines = (
+        rebalance_narrow_scan(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(F.split(F.col(text_col), "\n"))).alias("line"),
+        )
+        .where(F.length(F.trim(F.col("line"))) > 0)
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+        .filter(F.col("line_df") >= min_df)
+    )
+
+
+def strip_duplicate_lines(
+    docs: DataFrame,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, text) with every line occurring in >= min_df distinct docs
+    removed — C4's boilerplate strip as a left-anti join against
+    duplicate_lines. Blank lines are dropped (they carry no content and
+    would otherwise dominate the join key space). Line order is preserved
+    via posexplode + an order-pinned re-aggregation (collect_list alone has
+    no ordering guarantee after a shuffle).
+
+    Scale: the anti-join shuffles (line, doc_id, pos) rows keyed by the
+    line string — bounded by corpus line count; the dup-line relation is
+    a corpus-wide aggregate, NOT broadcast (at crawl scale it can be
+    arbitrarily large)."""
+    exploded = (
+        rebalance_narrow_scan(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .where(F.length(F.trim(F.col("line"))) > 0)
+    )
+    dup = duplicate_lines(docs, min_df, id_col, text_col).select("line")
+    kept = exploded.join(dup, "line", "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )

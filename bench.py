@@ -940,7 +940,9 @@ Round-5 headline notes: 16:39Z run 45.6 s over the 27 r4-era queries;
 `url_domain_sample` 0.73 s, `dedup_decontaminate` 2.5 s,
 `text_pii_stats` 1.2 s, and the new FTS5 forms `ft_prefix` 0.86 s,
 `ft_near` 0.81 s, `ft_initial` 0.90 s — subtract ~7.5 s for cross-round
-total comparisons; the per-query map is the comparable object).
+total comparisons; the per-query map is the comparable object). The
+shipped headline adds a 35th query (`text_line_dedup`, ~1-2 s) not in
+the 19:24Z record — subtract it too when comparing totals.
 ann_cosine_topk 0.996-1.53 s and dedup_simhash_pairs 3.85-4.73 s confirm
 r4's contended snapshot (9.87 / 24.62 s) was weather; `ft_phrase` runs
 the candidate-bounded two-stage position decode (postings-first
@@ -1224,7 +1226,7 @@ def history_section() -> str:
         for r in runs[-10:]
     )
     return f"""
-## Protocol history (all completed runs on this host, BENCH_evidence.jsonl)
+## Protocol history (last 10 completed runs on this host; full journal in BENCH_evidence.jsonl)
 
 | utc | docs | median pair efficiency | best-pair | pairs (topped up) | worst steal% |
 |---|---|---|---|---|---|

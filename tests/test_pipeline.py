@@ -1036,3 +1036,23 @@ def test_line_dedup_strips_boilerplate_preserving_order(spark):
     assert out[1] == "other gamma"                 # blank line dropped too
     assert out[2] == "totally unique document\nnothing shared here"
     assert 3 not in out                            # all-boilerplate doc gone
+
+
+def test_duplicate_lines_counts_distinct_docs_not_rows(spark):
+    """A doc_id appearing in several input rows (unioned shards) must count
+    once per line — row-count inflation used to delete unique content."""
+    from wise_spark.pipeline import duplicate_lines, strip_duplicate_lines
+
+    docs = spark.createDataFrame(
+        [(0, "only doc zero has this"), (0, "only doc zero has this"),
+         (1, "unrelated text")],
+        "doc_id long, text string",
+    )
+    assert duplicate_lines(docs, min_df=2).count() == 0
+    out = {r["doc_id"]: r["text"]
+           for r in strip_duplicate_lines(docs, min_df=2).collect()}
+    # the duplicated source rows merge into one doc group (their lines both
+    # survive) — the contract under test is that the unique content is NOT
+    # stripped as boilerplate
+    assert "only doc zero has this" in out[0]
+    assert out[1] == "unrelated text"

@@ -382,6 +382,9 @@ def duplicate_lines(
             F.explode(F.array_distinct(F.split(F.col(text_col), "\n"))).alias("line"),
         )
         .where(F.length(F.trim(F.col("line"))) > 0)
+        # array_distinct dedups within one ROW only — a doc_id appearing in
+        # several input rows (unioned shards) must still count once
+        .dropDuplicates(["doc_id", "line"])
     )
     return (
         lines.groupBy("line")
@@ -397,15 +400,20 @@ def strip_duplicate_lines(
     text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, text) with every line occurring in >= min_df distinct docs
-    removed — C4's boilerplate strip as a left-anti join against
-    duplicate_lines. Blank lines are dropped (they carry no content and
-    would otherwise dominate the join key space). Line order is preserved
-    via posexplode + an order-pinned re-aggregation (collect_list alone has
-    no ordering guarantee after a shuffle).
+    removed — C4's boilerplate strip as a left-anti join against the
+    duplicate-line relation. Blank lines are dropped, and a doc whose
+    every line is blank or boilerplate DROPS OUT of the result entirely
+    (no empty-text row) — count doc_ids against the input when cardinality
+    matters; this deliberately differs from this module's row-preserving
+    per-doc feature functions. Line order is preserved via posexplode +
+    an order-pinned re-aggregation (collect_list alone has no ordering
+    guarantee after a shuffle).
 
-    Scale: the anti-join shuffles (line, doc_id, pos) rows keyed by the
-    line string — bounded by corpus line count; the dup-line relation is
-    a corpus-wide aggregate, NOT broadcast (at crawl scale it can be
+    Scale: ONE corpus scan/split — the exploded relation is materialized
+    once (localCheckpoint) and feeds both the df count and the anti-join;
+    the anti-join shuffles (line, doc_id, pos) rows keyed by the line
+    string — bounded by corpus line count; the dup-line relation is a
+    corpus-wide aggregate, NOT broadcast (at crawl scale it can be
     arbitrarily large)."""
     exploded = (
         rebalance_narrow_scan(docs)
@@ -414,8 +422,15 @@ def strip_duplicate_lines(
             F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
         )
         .where(F.length(F.trim(F.col("line"))) > 0)
+        .localCheckpoint(eager=True)
     )
-    dup = duplicate_lines(docs, min_df, id_col, text_col).select("line")
+    dup = (
+        exploded.dropDuplicates(["doc_id", "line"])
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+        .filter(F.col("line_df") >= min_df)
+        .select("line")
+    )
     kept = exploded.join(dup, "line", "left_anti")
     return (
         kept.groupBy("doc_id")

@@ -25,9 +25,18 @@ All paths are pure DataFrame ops (JVM-side expressions, no Python UDFs).
 
 from __future__ import annotations
 
+import functools as _functools
+
+import numpy as _np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .text import ASCII_TOKEN_RE, _toks, rebalance_narrow_scan
+from .text import (
+    ASCII_TOKEN_RE,
+    REBALANCE_CHUNK_BYTES_HASHING,
+    _toks,
+    rebalance_narrow_scan,
+)
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -51,8 +60,11 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
     # with < n tokens, sequence counts down through -1 and slice(toks, 0, n)
     # raises under ANSI — correctness must not depend on Catalyst choosing
     # to push the predicate below the Generate
+    # denser rebalance budget: every consumer of the shingle relation
+    # (minhash md5s, the inverted self-join, decontamination) does far more
+    # CPU per source byte than the plain tokenize kernels
     return (
-        rebalance_narrow_scan(docs)
+        rebalance_narrow_scan(docs, chunk_bytes=REBALANCE_CHUNK_BYTES_HASHING)
         .where(F.size(toks) >= n)
         .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
     )
@@ -183,6 +195,40 @@ def minhash_lsh_pairs(
     )
 
 
+def _simhash64_py(text: str) -> str | None:
+    """Pure-Python SimHash of one document — integer-exact mirror of the
+    oracle formula: bit_b = sign(sum over distinct tokens of
+    tf * (2*bit_b(md5(token)) - 1)), bit_b from the md5 hex nibbles
+    (nibble = bit//4, offset-within-nibble = bit%4). All-integer math, so
+    the value is identical to the previous 64-column JVM-expression
+    formulation and to the DuckDB oracle. Returns None for docs with no
+    tokens (the explode-based formulation emitted no row for them)."""
+    import re as _re
+    from collections import Counter
+
+    toks = _re.findall(ASCII_TOKEN_RE, text.lower()) if text is not None else []
+    if not toks:
+        return None
+    votes = _np.zeros(64, dtype=_np.int64)
+    for term, tf in Counter(toks).items():
+        votes += tf * _term_bitvec(term)
+    return "".join("1" if v > 0 else "0" for v in votes)
+
+
+@_functools.lru_cache(maxsize=1 << 20)
+def _term_bitvec(term: str) -> "_np.ndarray":
+    """±1 vote vector (int64[64]) for one token, memoized per worker: md5 is
+    paid once per distinct term per Python worker, not once per occurrence."""
+    import hashlib
+
+    h = hashlib.md5(term.encode("utf-8")).hexdigest()
+    out = _np.empty(64, dtype=_np.int64)
+    for bit in range(64):
+        nib, off = divmod(bit, 4)
+        out[bit] = 2 * ((int(h[nib], 16) >> off) & 1) - 1
+    return out
+
+
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -190,27 +236,28 @@ def simhash_fingerprints(
 
     bit_b = sign( sum over distinct tokens of tf * (2*bit_b(md5(token)) - 1) )
     where bit_b comes from the b-th bit of the md5 hex nibbles.
-    """
-    toks = _toks(text_col)
-    tf = (
+
+    One Arrow-vectorized kernel per batch (guide §4.2), zero shuffle: a
+    document's fingerprint is purely doc-local, so tokenize + tf counting +
+    bit votes all happen map-side in one pandas UDF (integer math — exactly
+    the value the previous explode -> groupBy(doc_id, term) -> 64-column
+    vote aggregation produced, pinned by tests). The old formulation also
+    cost ~3 s of DRIVER time per call just to analyze/compile its ~1500-node
+    expression tree; this plan is one ArrowEvalPython node. Docs with no
+    tokens emit no row (unchanged contract)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def simhash_udf(s: pd.Series) -> pd.Series:
+        return s.map(_simhash64_py, na_action=None)
+
+    return (
         rebalance_narrow_scan(docs)
-        .select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", F.md5(F.col("term")))
+        .select(F.col(id_col).alias("doc_id"),
+                simhash_udf(F.col(text_col)).alias("simhash"))
+        .where(F.col("simhash").isNotNull())
     )
-    # 64 bits = first 16 hex nibbles x 4 bits
-    bit_cols = []
-    for bit in range(64):
-        nib, off = divmod(bit, 4)
-        digit = F.instr(F.lit("0123456789abcdef"), F.substring("h", nib + 1, 1)) - 1
-        b = F.floor(digit / (2 ** off)) % 2
-        bit_cols.append(((b * 2 - 1) * F.col("tf")).alias(f"v{bit}"))
-    votes = tf.select("doc_id", *bit_cols).groupBy("doc_id").agg(
-        *[F.sum(f"v{i}").alias(f"s{i}") for i in range(64)]
-    )
-    bits = F.concat(*[F.when(F.col(f"s{i}") > 0, "1").otherwise("0") for i in range(64)])
-    return votes.select("doc_id", bits.alias("simhash"))
 
 
 def _hamming64(a, b):

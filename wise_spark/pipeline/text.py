@@ -10,6 +10,8 @@ text) — equal to the engine analyzer on ASCII corpora and expressible as
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 ASCII_TOKEN_RE = "[a-z0-9]+"
@@ -61,7 +63,34 @@ def _effective_scan_parallelism(df: DataFrame, planned: int) -> int:
         return planned
 
 
-def rebalance_narrow_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+# Per-task byte budget for the small-input rebalance target below. ~256 KB
+# of source bytes is several milliseconds of tokenize/shingle CPU per task —
+# small enough that no core sits on a straggler, large enough that a tiny
+# corpus does not fan out into dozens of near-empty map tasks whose shuffle
+# files dominate the stage (guide §2.2: fewer, larger map tasks; measured at
+# sf0.1: a 32-task map feeding a 64-partition exchange costs ~0.5 s of pure
+# overhead vs ~0.1 s from 3 tasks). Env-overridable for experiments.
+REBALANCE_CHUNK_BYTES = 256 << 10
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for the plan (file bytes for source scans,
+    propagated upward for filters/unions). Used only to SIZE the rebalance
+    target — a wrong estimate degrades to the previous fixed behavior."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+# Denser budget for md5-heavy operators (minhash: 8 digests per shingle,
+# winnowing: one digest per token 4-gram): their per-source-byte CPU is
+# ~10x the tokenize kernels', so they saturate a task at ~32 KB of source.
+REBALANCE_CHUNK_BYTES_HASHING = 32 << 10
+
+
+def rebalance_narrow_scan(df: DataFrame, min_parts: int | None = None,
+                          chunk_bytes: int | None = None) -> DataFrame:
     """Re-balance a NARROW source before CPU-heavy per-row text work.
 
     Spark cannot split a parquet scan below row-group granularity, so a
@@ -75,9 +104,23 @@ def rebalance_narrow_scan(df: DataFrame, min_parts: int | None = None) -> DataFr
     byte-range split count — pay one narrow exchange of the raw rows to
     spread the CPU-bound work; on a healthy wide scan (100 TB: thousands
     of row groups) the guard makes this a no-op, so no shuffle is ever
-    added at scale."""
+    added at scale.
+
+    The target is SIZE-AWARE (guide §2 "derive partitioning from input
+    size, not a constant"): capped at ~REBALANCE_CHUNK_BYTES of estimated
+    source bytes per task, so a KB-scale input gets 1-3 tasks instead of a
+    cluster-width fan-out whose per-task shuffle-file overhead dwarfs the
+    compute; a large input still gets the full scheduler width (the cap
+    only ever LOWERS the target below defaultParallelism for small
+    inputs — at scale the estimate exceeds width x chunk and the behavior
+    is exactly the old one)."""
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
+    chunk = chunk_bytes or int(os.environ.get("WISE_REBALANCE_CHUNK_BYTES",
+                                              REBALANCE_CHUNK_BYTES))
+    est = _plan_size_bytes(df)
+    if est is not None and 0 <= est < target * chunk:
+        target = max(1, -(-est // chunk))
     planned = df.rdd.getNumPartitions()
     if _effective_scan_parallelism(df, planned) * 2 <= target:
         return df.repartition(target)
@@ -265,7 +308,7 @@ def winnow_fingerprints(
     # O(T^2) digests per doc (measured at sf0.1: 9.2 s vs 0.6 s). The
     # intermediate column pins one evaluation per row.
     step = (
-        rebalance_narrow_scan(docs)
+        rebalance_narrow_scan(docs, chunk_bytes=REBALANCE_CHUNK_BYTES_HASHING)
         .where(F.size(toks) >= k + w - 1)
         .select(F.col(id_col).alias("doc_id"), hashes.alias("hs"))
     )

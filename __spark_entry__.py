@@ -1051,19 +1051,29 @@ def _eval_results_truth(corpus):
     BM25 any-mode top-50 ranking judged against exact all-terms-present
     relevance. One definition so the mAP and nDCG entries cannot drift.
 
-    Both relations come from the BATCH scorer (`score_queries`): the whole
-    query set is ONE pass over the tf relation (the reference evaluates its
-    query set as one similarity-matrix pass), instead of 2 plans per query.
+    Both relations come from ONE batch-scorer pass (`score_queries` with
+    with_hits=True): the any-mode scored relation carries (n_terms_hit,
+    n_q), so truth = rows with every query term present — exactly the
+    mode="all" row set the previous two-pass formulation computed, from
+    the same fold. The scored relation (bounded: matching docs for the
+    benchmark query set) is materialized once so the AP/nDCG windows and
+    the truth join don't re-run the scorer per consumer, and their plans
+    stay small (the two-subtree version cost ~2x the compute and several
+    seconds of driver-side analysis per call).
     Ranking parity with the per-query path: score rounded to 9 dp first,
     rank = 0-based row_number under (score desc, doc_id asc) per query."""
     from wise_spark.query.naive import score_queries
     from wise_spark.query.search import ranked_per
 
-    scored = score_queries(corpus, _EVAL_QUERIES, mode="any").withColumn(
-        "score", F.round("score", 9)
+    scored = (
+        score_queries(corpus, _EVAL_QUERIES, mode="any", with_hits=True)
+        .withColumn("score", F.round("score", 9))
+        .localCheckpoint(eager=True)
     )
-    results = ranked_per(scored, k=50).select("query_id", "doc_id", "rank")
-    truth = score_queries(corpus, _EVAL_QUERIES, mode="all").select(
+    results = ranked_per(scored.select("query_id", "doc_id", "score"), k=50).select(
+        "query_id", "doc_id", "rank"
+    )
+    truth = scored.filter(F.col("n_terms_hit") == F.col("n_q")).select(
         "query_id", "doc_id"
     )
     return results, truth

@@ -20,7 +20,10 @@ operator (scale first, oracle-parity second):
                    tf-weighted bit votes; emitted as a 64-char '0'/'1' string
                    so the value is engine-portable.
 
-All paths are pure DataFrame ops (JVM-side expressions, no Python UDFs).
+Per-document computations (shingle sets, signatures, fingerprints) run as
+Arrow-vectorized mapInPandas kernels (guide §4.2 — batch-oriented, never
+per-row UDF dispatch); everything that joins or aggregates across documents
+stays pure DataFrame ops.
 """
 
 from __future__ import annotations
@@ -34,8 +37,7 @@ from pyspark.sql import DataFrame, functions as F
 from .text import (
     ASCII_TOKEN_RE,
     REBALANCE_CHUNK_BYTES_HASHING,
-    _toks,
-    rebalance_narrow_scan,
+    _doc_local_kernel,
 )
 
 
@@ -49,24 +51,39 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def _shingle_set_py(text: str, n: int) -> list | None:
+    """Distinct token n-grams of one document, first-occurrence order —
+    value-identical to the previous array_distinct(transform(sequence...))
+    JVM formulation (dict.fromkeys preserves first occurrence exactly like
+    array_distinct; every consumer is order-free anyway). None for docs
+    with < n tokens (those emitted no row)."""
+    import re as _re
+
+    toks = _re.findall(ASCII_TOKEN_RE, text.lower()) if text is not None else []
+    if len(toks) < n:
+        return None
+    return list(dict.fromkeys(
+        " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+    ))
+
+
+def shingle_arrays(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, shs: array<string>) — one row per doc with >= n tokens,
+    carrying its distinct shingle set. One Arrow-vectorized kernel, zero
+    shuffle (guide §4.2); the equivalent chain of higher-order JVM
+    expressions (transform + slice + array_join + array_distinct) cost
+    1-2 s of driver analysis/codegen per referencing plan."""
+    return _doc_local_kernel(
+        docs, id_col, text_col, lambda t: _shingle_set_py(t, n),
+        "shs", "array<string>", chunk_bytes=REBALANCE_CHUNK_BYTES_HASHING,
+    )
+
+
 def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) distinct token n-grams (space-joined)."""
-    toks = _toks(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    # the short-doc filter sits STRUCTURALLY before the explode: for a doc
-    # with < n tokens, sequence counts down through -1 and slice(toks, 0, n)
-    # raises under ANSI — correctness must not depend on Catalyst choosing
-    # to push the predicate below the Generate
-    # denser rebalance budget: every consumer of the shingle relation
-    # (minhash md5s, the inverted self-join, decontamination) does far more
-    # CPU per source byte than the plain tokenize kernels
-    return (
-        rebalance_narrow_scan(docs, chunk_bytes=REBALANCE_CHUNK_BYTES_HASHING)
-        .where(F.size(toks) >= n)
-        .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+    return shingle_arrays(docs, n, id_col, text_col).select(
+        "doc_id", F.explode("shs").alias("shingle")
     )
 
 
@@ -112,14 +129,24 @@ def ngram_jaccard_pairs(
                 n_hot, max_shingle_df,
             )
         sh = sh.join(hot, "shingle", "left_anti")
-    # materialize the shingle relation ONCE: it feeds three consumers
-    # (sizes, both sides of the self-join) and without this the tokenize +
-    # explode pipeline re-runs per consumer — the executed plan showed 4
-    # Generates and 8 parquet scans of the same corpus. At scale this is
-    # the standard "write the shingle table, then join it" layout;
-    # checkpoint blocks are freed by the ContextCleaner with the result.
-    sh = sh.localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+        # materialize the capped relation ONCE: it feeds three consumers
+        # (sizes, both sides of the self-join); checkpoint blocks are freed
+        # by the ContextCleaner with the result.
+        sh = sh.localCheckpoint(eager=True)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    else:
+        # exact mode: materialize ONE row per doc carrying its distinct
+        # shingle ARRAY (~n_docs rows) instead of the exploded relation
+        # (~n_docs x set_size rows) — set sizes become a map-side F.size
+        # (the exploded layout needed a groupBy(doc_id) shuffle for them),
+        # and both self-join sides re-explode the checkpointed arrays
+        # map-side. Same standard "write the shingle table, then join it"
+        # layout, smaller table, one fewer exchange.
+        doc_sh = shingle_arrays(docs, n, id_col, text_col).localCheckpoint(
+            eager=True
+        )
+        sizes = doc_sh.select("doc_id", F.size("shs").alias("set_size"))
+        sh = doc_sh.select("doc_id", F.explode("shs").alias("shingle"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -145,16 +172,49 @@ N_HASHES = 8
 BANDS = 4  # rows per band = N_HASHES // BANDS = 2
 
 
+def _minhash_sig_py(text: str, n: int) -> list | None:
+    """Pure-Python MinHash signature of one document — value-identical to
+    the previous explode -> groupBy(doc_id) -> 8 x min(md5(shingle || ':i'))
+    formulation: hashlib md5 hexdigest == Spark md5(), and Python's string
+    min over lowercase hex == Spark's UTF8 binary min. Returns None for
+    docs with < n tokens (the explode-based version emitted no row)."""
+    import hashlib
+    import re as _re
+
+    toks = _re.findall(ASCII_TOKEN_RE, text.lower()) if text is not None else []
+    if len(toks) < n:
+        return None
+    grams = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    mins = [None] * N_HASHES
+    for g in grams:
+        for i in range(N_HASHES):
+            h = hashlib.md5(f"{g}:{i}".encode("utf-8")).hexdigest()
+            if mins[i] is None or h < mins[i]:
+                mins[i] = h
+    return mins
+
+
 def minhash_signatures(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, h0..h7) portable MinHash signature over n-gram shingles."""
-    sh = shingles(docs, n, id_col, text_col)
-    aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"h{i}")
-        for i in range(N_HASHES)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    """(doc_id, h0..h7) portable MinHash signature over n-gram shingles.
+
+    A signature is purely doc-local, so it is computed in ONE Arrow-
+    vectorized kernel (guide §4.2) with zero shuffle — the previous
+    shingle-explode -> groupBy(doc_id) -> 8 min-aggregation formulation
+    shuffled every distinct (doc, shingle) row and paid ~2 s of driver
+    analysis/codegen for its 8-way md5 aggregate tree per call. Values are
+    bit-identical (see _minhash_sig_py); docs with < n tokens emit no row
+    (unchanged contract)."""
+    # denser rebalance budget: 8 digests per shingle, like the join path
+    sig = _doc_local_kernel(
+        docs, id_col, text_col, lambda t: _minhash_sig_py(t, n),
+        "sig", "array<string>",
+        chunk_bytes=REBALANCE_CHUNK_BYTES_HASHING,
+    )
+    return sig.select(
+        "doc_id", *[F.col("sig")[i].alias(f"h{i}") for i in range(N_HASHES)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -245,19 +305,8 @@ def simhash_fingerprints(
     cost ~3 s of DRIVER time per call just to analyze/compile its ~1500-node
     expression tree; this plan is one ArrowEvalPython node. Docs with no
     tokens emit no row (unchanged contract)."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import StringType
-
-    @pandas_udf(StringType())
-    def simhash_udf(s: pd.Series) -> pd.Series:
-        return s.map(_simhash64_py, na_action=None)
-
-    return (
-        rebalance_narrow_scan(docs)
-        .select(F.col(id_col).alias("doc_id"),
-                simhash_udf(F.col(text_col)).alias("simhash"))
-        .where(F.col("simhash").isNotNull())
-    )
+    return _doc_local_kernel(docs, id_col, text_col, _simhash64_py,
+                             "simhash", "string")
 
 
 def _hamming64(a, b):

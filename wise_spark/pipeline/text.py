@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 ASCII_TOKEN_RE = "[a-z0-9]+"
@@ -125,6 +126,39 @@ def rebalance_narrow_scan(df: DataFrame, min_parts: int | None = None,
     if _effective_scan_parallelism(df, planned) * 2 <= target:
         return df.repartition(target)
     return df
+
+
+def _doc_local_kernel(docs: DataFrame, id_col: str, text_col: str, fn,
+                      out_col: str, out_type: str,
+                      chunk_bytes: int | None = None) -> DataFrame:
+    """(doc_id, out_col) from a pure per-document Python function, as ONE
+    Arrow-vectorized mapInPandas pass AFTER the rebalance exchange.
+
+    mapInPandas (not a scalar pandas_udf) deliberately: the optimizer pushes
+    a scalar-UDF projection BELOW a round-robin repartition to shuffle fewer
+    bytes, which re-serializes the whole kernel onto the narrow scan's 1-2
+    tasks — exactly the core-starvation rebalance_narrow_scan exists to fix
+    (observed: a 2-task 2.1 s stage doing every md5 while 16 repartitioned
+    tasks sat idle). mapInPandas is a barrier the optimizer does not
+    transpose with the exchange. Docs where fn returns None emit no row."""
+    id_type = docs.schema[id_col].dataType.simpleString()
+    src = rebalance_narrow_scan(docs, chunk_bytes=chunk_bytes).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                out_col: pdf["_text"].map(fn, na_action=None),
+            })
+            yield out[out[out_col].notna()]
+
+    return src.mapInPandas(
+        kernel, schema=f"doc_id {id_type}, {out_col} {out_type}"
+    )
 
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -296,29 +330,35 @@ def winnow_fingerprints(
     the same detection floor. Docs with fewer than k + w - 1 tokens emit no
     rows. Everything is per-row higher-order JVM expressions — the only
     rows that ever leave a map task are the selected fingerprints."""
-    toks = _toks(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-    )
-    hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 8))
-    # TWO projections, not one: an expression referenced inside a transform
-    # lambda is re-evaluated PER ELEMENT, so sliding windows directly over
-    # the `hashes` expression recompute the whole md5 array per window —
-    # O(T^2) digests per doc (measured at sf0.1: 9.2 s vs 0.6 s). The
-    # intermediate column pins one evaluation per row.
-    step = (
-        rebalance_narrow_scan(docs, chunk_bytes=REBALANCE_CHUNK_BYTES_HASHING)
-        .where(F.size(toks) >= k + w - 1)
-        .select(F.col(id_col).alias("doc_id"), hashes.alias("hs"))
-    )
-    wins = F.transform(
-        F.sequence(F.lit(0), F.size(F.col("hs")) - w),
-        lambda i: F.array_min(F.slice(F.col("hs"), i + 1, w)),
-    )
-    return step.select(
-        "doc_id", F.explode(F.array_sort(F.array_distinct(wins))).alias("fp")
-    )
+    def winnow_one(text: str) -> list | None:
+        # value-identical to the previous higher-order-expression
+        # formulation: hashlib md5 hex == Spark md5(); min over a window of
+        # fixed-length lowercase hex strings is the same lexicographic min;
+        # sorted(set(...)) == array_sort(array_distinct(...))
+        import hashlib
+        import re as _re
+
+        toks = _re.findall(ASCII_TOKEN_RE, text.lower()) if text is not None else []
+        if len(toks) < k + w - 1:
+            return None
+        hs = [
+            hashlib.md5(" ".join(toks[i:i + k]).encode("utf-8")).hexdigest()[:8]
+            for i in range(len(toks) - k + 1)
+        ]
+        wins = {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+        return sorted(wins)
+
+    # One Arrow-vectorized kernel per batch (guide §4.2), zero shuffle: the
+    # fingerprint selection is purely doc-local. The previous nested
+    # higher-order-function formulation (transform-of-slice-of-md5 feeding
+    # sliding array_min windows) was correct and O(T) in digests, but its
+    # generated code cost multiple seconds of driver analysis + Janino
+    # compilation per call (measured: 6.4 s first run, 1.5 s steady at
+    # sf0.1); this plan is one MapInPandas node.
+    fps = _doc_local_kernel(docs, id_col, text_col, winnow_one,
+                            "fps", "array<string>",
+                            chunk_bytes=REBALANCE_CHUNK_BYTES_HASHING)
+    return fps.select("doc_id", F.explode("fps").alias("fp"))
 
 
 def winnow_pairs(
@@ -343,11 +383,14 @@ def winnow_pairs(
     together ONLY by template boilerplate disappear — usually the desired
     behavior). None = exact semantics (oracle checks)."""
     fp = winnow_fingerprints(docs, k, w, id_col, text_col)
+    # the fp relation always feeds at least two consumers (both self-join
+    # sides; with the cap also the hot count and anti-join probe) —
+    # materialize the fingerprint pipeline once, mirroring
+    # simhash_pairs/ngram_jaccard_pairs (previously only the capped path
+    # checkpointed, so the default path ran the whole rolling-md5 kernel
+    # and its plan compilation twice)
+    fp = fp.localCheckpoint(eager=True)
     if max_fp_df is not None:
-        # the fp relation now feeds THREE consumers (hot count, anti-join
-        # probe, both self-join sides) — materialize the rolling-md5
-        # pipeline once, mirroring simhash_pairs/ngram_jaccard_pairs
-        fp = fp.localCheckpoint(eager=True)
         hot = (
             fp.groupBy("fp").agg(F.count(F.lit(1)).alias("fdf"))
             .filter(F.col("fdf") > max_fp_df)

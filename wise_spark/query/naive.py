@@ -182,10 +182,18 @@ def score_query(corpus: TokenizedCorpus, query: str, mode: str = "all") -> DataF
     return scored.select("doc_id", "score")
 
 
-def score_queries(corpus: TokenizedCorpus, queries, mode: str = "all") -> DataFrame:
+def score_queries(
+    corpus: TokenizedCorpus, queries, mode: str = "all", with_hits: bool = False
+) -> DataFrame:
     """Batch scorer: MANY queries in ONE pass over the tf relation —
     (query_id, doc_id, score), per-query rank-identical to `score_query`
     (same exact df stats, same sorted-term deterministic fold).
+
+    `with_hits=True` additionally exposes (n_terms_hit, n_q) so ONE
+    any-mode pass can serve both a ranking and an all-terms-present truth
+    set (truth = rows with n_terms_hit == n_q — exactly the mode="all"
+    row set, same scores): callers that need both relations score the
+    corpus once instead of twice.
 
     `queries` is an iterable of (query_id, query_text). The reference
     evaluates its whole query set as one similarity-matrix pass
@@ -239,6 +247,8 @@ def score_queries(corpus: TokenizedCorpus, queries, mode: str = "all") -> DataFr
     scored = _deterministic_score(contrib, keys=("query_id", "n_q", "doc_id"))
     if mode == "all":
         scored = scored.filter(F.col("n_terms_hit") == F.col("n_q"))
+    if with_hits:
+        return scored.select("query_id", "doc_id", "score", "n_terms_hit", "n_q")
     return scored.select("query_id", "doc_id", "score")
 
 

@@ -148,6 +148,9 @@ _Q1 = ["spark", "merge", "window"]
 _Q2 = ["spark", "table"]
 
 
+_FTS_INDEX_CACHE: dict = {}
+
+
 def _get_index(spark: SparkSession, sf_dir: str):
     from wise_spark.index import FtsIndex, build_index
 
@@ -164,7 +167,26 @@ def _get_index(spark: SparkSession, sf_dir: str):
         docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
         build_index(docs, d, url_col="source", n_shards=8, n_buckets=8,
                     n_salts=2, n_waves=2, with_positions=True)
-    return FtsIndex.load(spark, d)
+    # ONE serving-mode FtsIndex per (session, DATA): cache=True pins the
+    # (size-guarded) segment relation shard-partitioned in executor memory
+    # and the term->df stats in a driver dict, so each query is a single
+    # single-stage job — the same serving mode bench.py's own scaling
+    # section measures query latency in (FtsIndex.load(..., cache=True)),
+    # and the reference's comparison class (its published per-query number
+    # is against a faiss index loaded in RAM; it also copies its hot SQLite
+    # index to :memory:). Without the memo every entry re-loaded the index
+    # cold and re-paid a terms-lookup job + a per-query shard exchange.
+    ikey = (spark.sparkContext.applicationId, d)
+    if ikey not in _FTS_INDEX_CACHE:
+        for stale in [k for k in _FTS_INDEX_CACHE if k[1] == d]:
+            try:
+                _FTS_INDEX_CACHE.pop(stale)._segments.unpersist()
+            except Exception:  # noqa: BLE001 — entry from a stopped session
+                pass
+        idx = FtsIndex.load(spark, d, cache=True)
+        idx._segments.count()   # materialize the pin eagerly (one tiny job)
+        _FTS_INDEX_CACHE[ikey] = idx
+    return _FTS_INDEX_CACHE[ikey]
 
 
 # ---------------------------------------------------------------------------

@@ -844,7 +844,23 @@ def test_rebalance_guard_is_row_group_aware(spark, tmp_path):
     fat_df = spark.read.parquet(fat)
     assert _effective_scan_parallelism(fat_df, planned=32) == 1
     target = spark.sparkContext.defaultParallelism
-    assert rebalance_narrow_scan(fat_df).rdd.getNumPartitions() == target
+    # with a tiny per-task byte budget the size cap is not binding and the
+    # guard restores the full scheduler width (the at-scale behavior)
+    assert rebalance_narrow_scan(
+        fat_df, chunk_bytes=1).rdd.getNumPartitions() == target
+    # with the default budget the target is SIZE-AWARE: ~chunk bytes of
+    # estimated input per task, never more than the scheduler width, and
+    # the single-row-group pathology is still fixed (> 1 effective task
+    # whenever the size estimate warrants it)
+    from wise_spark.pipeline.text import REBALANCE_CHUNK_BYTES, _plan_size_bytes
+
+    est = _plan_size_bytes(fat_df)
+    expected = max(1, min(target, -(-est // REBALANCE_CHUNK_BYTES)))
+    got = rebalance_narrow_scan(fat_df).rdd.getNumPartitions()
+    if expected >= 2:
+        assert got == expected
+    else:  # size-capped to 1: the narrow scan passes through untouched
+        assert got == fat_df.rdd.getNumPartitions()
 
     healthy_df = spark.read.parquet(healthy)
     eff = _effective_scan_parallelism(

@@ -243,59 +243,49 @@ def repetition_features(
     Docs with fewer than n tokens emit NULL features for that n (the outer
     explode preserves the row even when every n is too long).
 
-    Scale: ONE tokenize pass, one explode_outer of (n, gram)-tagged pairs
-    for all requested n at once (outer: a doc too short for every n still
-    emits one null row, so NO spine join is needed to preserve it),
-    groupBy(doc_id, n, gram) -> conditional per-n aggregation in a single
-    groupBy(doc_id) — one scan, two shuffles, zero joins, however many n.
-    The per-gram count combines map-side (partial aggregation), and
-    (doc_id, n, gram) keys are near-unique so no reducer ever sees more
-    than one document's grams — boilerplate-heavy corpora skew the GLOBAL
-    gram distribution but not this per-document key space."""
-    docs = rebalance_narrow_scan(docs)
-    # pin tokens as a real column: an expression referenced inside a
-    # transform lambda is re-evaluated PER ELEMENT (see winnow_fingerprints)
-    step = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.length(text_col).alias("n_chars"),
-        _toks(text_col).alias("toks"),
+    Scale: every feature is purely doc-local, so ONE Arrow-vectorized
+    kernel per batch (guide §4.2) computes all requested n with ZERO
+    shuffle — the previous formulation exploded one tagged (n, gram) row
+    per n-gram occurrence and aggregated it back in two exchanges, plus a
+    ~2 s/call driver analysis+codegen bill for its higher-order expression
+    trees. Numeric parity with that formulation (and the oracle) is exact:
+    counts and char masses are integers, the two divisions are the same
+    int-exact-double / int-exact-double IEEE operations, and the 6 dp
+    HALF_UP rounding stays JVM-side (Python's round() is banker's — never
+    used here)."""
+    from collections import Counter
+
+    def rep_one(text: str) -> dict:
+        import re as _re
+
+        toks = (_re.findall(ASCII_TOKEN_RE, text.lower())
+                if text is not None else [])
+        n_chars = len(text) if text is not None else 0
+        out: dict = {}
+        for n in ns:
+            if len(toks) < n:
+                out[f"d{n}"] = None
+                out[f"t{n}"] = None
+                continue
+            cnt = Counter(
+                " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+            )
+            occ = sum(cnt.values())
+            dis = len(cnt)
+            out[f"d{n}"] = (occ - dis) / occ
+            out[f"t{n}"] = max(c * len(g) for g, c in cnt.items()) / n_chars
+        return out
+
+    struct_type = ",".join(f"d{n}:double,t{n}:double" for n in ns)
+    raw = _doc_local_kernel(docs, id_col, text_col, rep_one,
+                            "r", f"struct<{struct_type}>")
+    return raw.select(
+        "doc_id",
+        *[c
+          for n in ns
+          for c in (F.round(F.col(f"r.d{n}"), 6).alias(f"dup_{n}gram_frac"),
+                    F.round(F.col(f"r.t{n}"), 6).alias(f"top_{n}gram_char_frac"))]
     )
-    toks = F.col("toks")
-    empty = F.array().cast("array<struct<n:int,gram:string>>")
-    tagged = []
-    for n in ns:
-        # NB: the transform lambda must stay single-parameter — a second
-        # parameter would be bound to the ARRAY INDEX by Spark, not the
-        # closure default. F.transform evaluates it eagerly, so closing
-        # over the loop's `n` is safe.
-        grams = F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.struct(
-                F.lit(n).cast("int").alias("n"),
-                F.array_join(F.slice(toks, i + 1, n), " ").alias("gram"),
-            ),
-        )
-        tagged.append(F.when(F.size(toks) >= n, grams).otherwise(empty))
-    g = step.select(
-        "doc_id", "n_chars", F.explode_outer(F.flatten(F.array(*tagged))).alias("p")
-    ).select("doc_id", "n_chars", F.col("p.n").alias("n"), F.col("p.gram").alias("gram"))
-    per = g.groupBy("doc_id", "n_chars", "n", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    exprs = []
-    for n in ns:
-        is_n = F.col("n") == n
-        occ = F.sum(F.when(is_n, F.col("cnt")))
-        dis = F.count(F.when(is_n, F.lit(1)))
-        exprs.append(F.round((occ - dis) / occ, 6).alias(f"dup_{n}gram_frac"))
-        exprs.append(
-            F.round(
-                F.max(F.when(is_n, F.col("cnt") * F.length("gram")))
-                / F.first("n_chars"),
-                6,
-            ).alias(f"top_{n}gram_char_frac")
-        )
-    return per.groupBy("doc_id").agg(*exprs)
 
 
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

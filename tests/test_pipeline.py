@@ -1072,3 +1072,159 @@ def test_duplicate_lines_counts_distinct_docs_not_rows(spark):
     # stripped as boilerplate
     assert "only doc zero has this" in out[0]
     assert out[1] == "unrelated text"
+
+
+def test_doc_local_kernels_match_jvm_expression_formulations(spark):
+    """The r6 Arrow-kernel rewrites (simhash, minhash signatures, shingle
+    sets, winnow fingerprints, repetition features) must stay VALUE-
+    identical to the JVM higher-order-expression formulations they
+    replaced — the DuckDB oracles still express those formulations, so a
+    drifted kernel is a correctness bug, not a style choice. This pins the
+    kernels against inline reconstructions of the old expressions on an
+    adversarial mini-corpus (dups, bag-dups, short docs, empty, punct-only,
+    None, repeated grams)."""
+    from pyspark.sql import functions as F
+
+    from wise_spark.pipeline.dedup import (
+        N_HASHES,
+        _minhash_sig_py,
+        _shingle_set_py,
+        _simhash64_py,
+    )
+    from wise_spark.pipeline.text import _toks
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "a a a a a b b b"),
+        (2, "x"),
+        (3, ""),
+        (4, "!!! ??? ..."),
+        (5, None),
+        (6, "one two three one two three one two three"),
+        (7, "Spark SQL joins MERGE and WINDOW functions 42 times"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = _toks("text")
+
+    # --- simhash: old 64-column vote aggregation ---
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.md5(F.col("term")))
+    )
+    bit_cols = []
+    for bit in range(64):
+        nib, off = divmod(bit, 4)
+        digit = F.instr(F.lit("0123456789abcdef"), F.substring("h", nib + 1, 1)) - 1
+        b = F.floor(digit / (2 ** off)) % 2
+        bit_cols.append(((b * 2 - 1) * F.col("tf")).alias(f"v{bit}"))
+    votes = tf.select("doc_id", *bit_cols).groupBy("doc_id").agg(
+        *[F.sum(f"v{i}").alias(f"s{i}") for i in range(64)]
+    )
+    bits = F.concat(*[F.when(F.col(f"s{i}") > 0, "1").otherwise("0")
+                      for i in range(64)])
+    old_sim = {r["doc_id"]: r["sh"]
+               for r in votes.select("doc_id", bits.alias("sh")).collect()}
+    new_sim = {r[0]: _simhash64_py(r[1]) for r in rows}
+    assert {k: v for k, v in new_sim.items() if v is not None} == old_sim
+
+    # --- shingle sets + minhash: old explode/groupBy formulation ---
+    n = 3
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    old_sh = (
+        docs.where(F.size(toks) >= n)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+    old_sets = {}
+    for r in old_sh.collect():
+        old_sets.setdefault(r["doc_id"], []).append(r["shingle"])
+    new_sets = {r[0]: _shingle_set_py(r[1], n) for r in rows}
+    assert {k: sorted(v) for k, v in new_sets.items() if v is not None} == {
+        k: sorted(v) for k, v in old_sets.items()}
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    old_mh = {r["doc_id"]: [r[f"h{i}"] for i in range(N_HASHES)]
+              for r in old_sh.groupBy("doc_id").agg(*aggs).collect()}
+    new_mh = {r[0]: _minhash_sig_py(r[1], n) for r in rows}
+    assert {k: v for k, v in new_mh.items() if v is not None} == old_mh
+
+    # --- winnowing: old rolling-md5 higher-order expressions ---
+    from wise_spark.pipeline import winnow_fingerprints
+
+    k, w = 4, 4
+    gr4 = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    hashes = F.transform(gr4, lambda g: F.substring(F.md5(g), 1, 8))
+    step = (
+        docs.where(F.size(toks) >= k + w - 1)
+        .select("doc_id", hashes.alias("hs"))
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("hs")) - w),
+        lambda i: F.array_min(F.slice(F.col("hs"), i + 1, w)),
+    )
+    old_fp = sorted(
+        (r["doc_id"], r["fp"])
+        for r in step.select(
+            "doc_id", F.explode(F.array_sort(F.array_distinct(wins))).alias("fp")
+        ).collect()
+    )
+    new_fp = sorted(
+        (r["doc_id"], r["fp"])
+        for r in winnow_fingerprints(docs, k=k, w=w).collect()
+    )
+    assert new_fp == old_fp
+
+    # --- repetition features: old tagged-explode aggregation ---
+    from wise_spark.pipeline import repetition_features
+
+    ns = (2, 3)
+    step2 = docs.select(
+        "doc_id", F.length("text").alias("n_chars"), toks.alias("toks")
+    )
+    tcol = F.col("toks")
+    empty = F.array().cast("array<struct<n:int,gram:string>>")
+    tagged = []
+    for nn in ns:
+        # single-parameter lambda (a second parameter binds to the ARRAY
+        # INDEX); F.transform evaluates eagerly, so closing over nn is safe
+        g2 = F.transform(
+            F.sequence(F.lit(0), F.size(tcol) - nn),
+            lambda i: F.struct(
+                F.lit(nn).cast("int").alias("n"),
+                F.array_join(F.slice(tcol, i + 1, nn), " ").alias("gram"),
+            ),
+        )
+        tagged.append(F.when(F.size(tcol) >= nn, g2).otherwise(empty))
+    g = step2.select(
+        "doc_id", "n_chars",
+        F.explode_outer(F.flatten(F.array(*tagged))).alias("p"),
+    ).select("doc_id", "n_chars", F.col("p.n").alias("n"),
+             F.col("p.gram").alias("gram"))
+    per = g.groupBy("doc_id", "n_chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    exprs = []
+    for nn in ns:
+        is_n = F.col("n") == nn
+        occ = F.sum(F.when(is_n, F.col("cnt")))
+        dis = F.count(F.when(is_n, F.lit(1)))
+        exprs.append(F.round((occ - dis) / occ, 6).alias(f"dup_{nn}gram_frac"))
+        exprs.append(F.round(
+            F.max(F.when(is_n, F.col("cnt") * F.length("gram")))
+            / F.first("n_chars"), 6).alias(f"top_{nn}gram_char_frac"))
+    old_rep = {r["doc_id"]: tuple(r[c] for c in (
+        "dup_2gram_frac", "top_2gram_char_frac",
+        "dup_3gram_frac", "top_3gram_char_frac"))
+        for r in per.groupBy("doc_id").agg(*exprs).collect()}
+    new_rep = {r["doc_id"]: tuple(r[c] for c in (
+        "dup_2gram_frac", "top_2gram_char_frac",
+        "dup_3gram_frac", "top_3gram_char_frac"))
+        for r in repetition_features(docs, ns=ns).collect()}
+    assert new_rep == old_rep

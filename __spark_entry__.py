@@ -118,12 +118,17 @@ def _ft_corpus(spark: SparkSession, sf_dir: str):
         _src_fingerprint(sf_dir),
     )
     if key not in _FT_CORPUS_CACHE:
-        # evict superseded entries for the same PATH (any session) and
-        # release their pinned .cache()'d tf relations — without this,
-        # every regeneration of documents.parquet leaks a cached corpus in
-        # executor memory, and every session restart in one driver process
-        # leaks a dead entry in this module-level dict
-        for stale in [k for k in _FT_CORPUS_CACHE if k[1] == key[1]]:
+        # evict superseded entries for the same PATH and release their
+        # pinned .cache()'d tf relations — without this, every regeneration
+        # of documents.parquet leaks a cached corpus in executor memory, and
+        # every session restart in one driver process leaks a dead entry in
+        # this module-level dict. Scoped (r5 advice): only entries of THIS
+        # session or whose data fingerprint differs — a live sibling
+        # session's still-current cache on the same path is left alone
+        # (evicting it ping-ponged two concurrent apps' caches).
+        for stale in [k for k in _FT_CORPUS_CACHE
+                      if k[1] == key[1]
+                      and (k[0] == key[0] or k[2] != key[2])]:
             try:
                 _FT_CORPUS_CACHE.pop(stale).unpersist()
             except Exception:  # noqa: BLE001 — entry from a stopped session

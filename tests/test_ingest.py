@@ -63,9 +63,16 @@ def test_iceberg_source_dispatch_documented_blocker(spark, tmp_path):
     from wise_spark.sources import read_corpus
 
     try:
-        read_corpus(spark, str(tmp_path), "iceberg").schema
+        schema = read_corpus(spark, str(tmp_path), "iceberg").schema
     except Exception as e:  # noqa: BLE001 — asserting the failure class
         msg = str(e)
         assert "iceberg" in msg.lower() or "DATA_SOURCE_NOT_FOUND" in msg, msg
         pytest.skip("iceberg-spark-runtime jar absent in container "
                     "(documented environment blocker; no network)")
+    else:  # jar present: this must not pass vacuously (r5 advice #3) —
+        # prompt an upgrade to a real write+read round-trip assertion
+        pytest.fail(
+            "iceberg runtime available but read_corpus returned schema "
+            f"{schema.simpleString()!r} with no round-trip assertion — "
+            "upgrade this test to write+read an actual iceberg table"
+        )

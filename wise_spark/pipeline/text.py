@@ -477,7 +477,15 @@ def strip_duplicate_lines(
 ) -> DataFrame:
     """(doc_id, text) with every line occurring in >= min_df distinct docs
     removed — C4's boilerplate strip as a left-anti join against the
-    duplicate-line relation. Blank lines are dropped, and a doc whose
+    duplicate-line relation.
+
+    Input contract: ONE row per doc_id. Line positions restart per input
+    row, so a doc_id split across several input rows (unioned shards)
+    would have its rows' lines interleaved by position in the reassembled
+    text — pre-aggregate shards (e.g. groupBy(doc_id) + concat) first;
+    `duplicate_lines` by contrast accepts multi-row docs.
+
+    Blank lines are dropped, and a doc whose
     every line is blank or boilerplate DROPS OUT of the result entirely
     (no empty-text row) — count doc_ids against the input when cardinality
     matters; this deliberately differs from this module's row-preserving

@@ -183,7 +183,14 @@ def _get_index(spark: SparkSession, sf_dir: str):
     # cold and re-paid a terms-lookup job + a per-query shard exchange.
     ikey = (spark.sparkContext.applicationId, d)
     if ikey not in _FTS_INDEX_CACHE:
-        for stale in [k for k in _FTS_INDEX_CACHE if k[1] == d]:
+        # drop only DEAD sessions' entries (the data fingerprint is part of
+        # `d`, so a same-path regeneration lands in a new dir and never
+        # collides; a live sibling session's still-current pin on the same
+        # dir is left alone — same scoping as _ft_corpus eviction)
+        for stale in [
+            k for k, v in _FTS_INDEX_CACHE.items()
+            if getattr(v.spark.sparkContext, "_jsc", None) is None
+        ]:
             try:
                 _FTS_INDEX_CACHE.pop(stale)._segments.unpersist()
             except Exception:  # noqa: BLE001 — entry from a stopped session

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..analyzer import tokenize_text
 from ..query.bm25 import idf_scalar
+from ..session import local_rows_df
 from .build import IndexMeta
 from .wand import score_shard_taat, score_shard_wand
 
@@ -272,7 +273,7 @@ class FtsIndex:
         """
         terms = self.query_terms(query)
         idfs = self._idfs(terms)
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = local_rows_df(self.spark, [], "doc_id long, score double")
         if not idfs or (mode == "all" and len(idfs) < len(terms)):
             return empty
         avgdl, n_terms = self.meta.avgdl, len(terms)
@@ -298,7 +299,7 @@ class FtsIndex:
         """
         terms = self.query_terms(query)
         idfs = self._idfs(terms)
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = local_rows_df(self.spark, [], "doc_id long, score double")
         if not idfs or (mode == "all" and len(idfs) < len(terms)):
             return empty
         avgdl, n_terms = self.meta.avgdl, len(terms)
@@ -353,7 +354,7 @@ class FtsIndex:
         if not self.meta.extras.get("with_positions"):
             raise ValueError("index was built without positions (with_positions=True)")
         seq = self.query_terms_ordered(phrase)
-        empty = self.spark.createDataFrame([], "doc_id long, tf long, doclen long")
+        empty = local_rows_df(self.spark, [], "doc_id long, tf long, doclen long")
         if not seq:
             return empty
         uniq = sorted(set(seq))
@@ -394,7 +395,7 @@ class FtsIndex:
         matches = matches.localCheckpoint(eager=True)
         df_v = matches.count()
         if df_v == 0:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return local_rows_df(self.spark, [], "doc_id long, score double")
         idf = idf_scalar(df_v, self.meta.n_docs)
         scored = matches.select(
             "doc_id",
@@ -480,7 +481,7 @@ class FtsIndex:
         if not self.meta.extras.get("with_positions"):
             raise ValueError("index was built without positions (with_positions=True)")
         seq = self.query_terms_ordered(phrase.lstrip("^"))
-        empty = self.spark.createDataFrame([], "doc_id long, tf long, doclen long")
+        empty = local_rows_df(self.spark, [], "doc_id long, tf long, doclen long")
         if not seq:
             return empty
         uniq = sorted(set(seq))
@@ -631,7 +632,7 @@ class FtsIndex:
             F.sum(F.when(F.col("tf_b") > 0, 1).otherwise(0)).alias("df_b"),
         ).collect()[0]
         df_a, df_b = int(counts["df_a"] or 0), int(counts["df_b"] or 0)
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = local_rows_df(self.spark, [], "doc_id long, score double")
         if df_a == 0 or df_b == 0:
             return empty
         idf_a = idf_scalar(df_a, self.meta.n_docs)
@@ -682,7 +683,7 @@ class FtsIndex:
             return self.doc_map().join(
                 results.localCheckpoint(eager=True), "doc_id", "inner"
             )
-        local = self.spark.createDataFrame(rows, results.schema)
+        local = local_rows_df(self.spark, rows, results.schema)
         ids = [r["doc_id"] for r in rows]
         pred = F.col("doc_id").isin(ids) if ids else F.lit(False)
         return self.doc_map().filter(pred).join(F.broadcast(local), "doc_id", "inner")

@@ -241,8 +241,12 @@ def ordered_lookup(
     was silently dropped and the whole table went through a SortMergeJoin.)
     """
     spark = table.sparkSession
-    ranks = spark.createDataFrame(
-        [(int(i), r) for r, i in enumerate(ids_in_rank_order)], f"{id_col} long, rank int"
+    from ..session import local_rows_df
+
+    ranks = local_rows_df(
+        spark,
+        [(int(i), r) for r, i in enumerate(ids_in_rank_order)],
+        f"{id_col} long, rank int",
     )
     vals = [int(i) for i in ids_in_rank_order]
     matched = table.filter(F.col(id_col).isin(vals) if vals else F.lit(False))

@@ -21,6 +21,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from ..session import local_rows_df
+
 
 def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
     """Per-query exact top-k of (query_id, vec_id, cosine) WITHOUT funneling
@@ -183,8 +185,8 @@ def lsh_cosine_topk(
         # non-empty result or per-shard unions break only on empty shards
         q_type = queries.schema[id_col].dataType.simpleString()
         id_type = items.schema[id_col].dataType.simpleString()
-        return items.sparkSession.createDataFrame(
-            [], f"query_id {q_type}, vec_id {id_type}, cosine double, rank int")
+        return local_rows_df(
+            items.sparkSession, [], f"query_id {q_type}, vec_id {id_type}, cosine double, rank int")
     qb = _sign_buckets(queries, id_col, vec_col, "query_id", mat, n_planes, n_tables)
     ib = _sign_buckets(items, id_col, vec_col, "vec_id", mat, n_planes, n_tables)
     cand = (
@@ -226,8 +228,8 @@ def _exact_neardup_blocked(
     n = items.count()
     id_type = items.schema[id_col].dataType.simpleString()
     if n == 0:
-        return items.sparkSession.createDataFrame(
-            [], f"vec_id_a {id_type}, vec_id_b {id_type}, cosine double")
+        return local_rows_df(
+            items.sparkSession, [], f"vec_id_a {id_type}, vec_id_b {id_type}, cosine double")
     n_blocks = max(1, -(-n // block_size))
 
     src = items.select(
@@ -361,8 +363,8 @@ def cosine_neardup_pairs(
         mat = _plane_matrix(items, vec_col, n_planes, n_tables, seed)
         id_type = items.schema[id_col].dataType.simpleString()
         if mat is None:   # empty corpus: no pairs
-            return items.sparkSession.createDataFrame(
-                [], f"vec_id_a {id_type}, vec_id_b {id_type}, cosine double")
+            return local_rows_df(
+                items.sparkSession, [], f"vec_id_a {id_type}, vec_id_b {id_type}, cosine double")
         # materialize the signatures ONCE and alias for both join sides:
         # two independent _sign_buckets calls re-ran the full upstream plan
         # (embedding production + the matmul) per side — the same
@@ -479,8 +481,8 @@ def ivf_cosine_topk(
         if items.select(vec_col).first() is None:   # empty corpus: no lists
             q_type = queries.schema[id_col].dataType.simpleString()
             id_type = items.schema[id_col].dataType.simpleString()
-            return items.sparkSession.createDataFrame(
-                [],
+            return local_rows_df(
+                items.sparkSession, [],
                 f"query_id {q_type}, vec_id {id_type}, cosine double, rank int",
             )
         centroids = train_ivf_centroids(items, n_lists, vec_col, seed=seed)

@@ -28,6 +28,7 @@ from pyspark.sql.types import DoubleType
 from ..analyzer import tokenize_text
 from ..analyzer.tokenizer import term_counts_udf
 from ..pipeline.text import rebalance_narrow_scan
+from ..session import local_rows_df
 from .bm25 import idf_col, tf_component_col
 
 
@@ -159,7 +160,7 @@ def score_query(corpus: TokenizedCorpus, query: str, mode: str = "all") -> DataF
     terms = sorted(set(tokenize_text(query)))
     spark = corpus.tf.sparkSession
     if not terms:
-        return spark.createDataFrame([], "doc_id long, score double")
+        return local_rows_df(spark, [], "doc_id long, score double")
     hits = corpus.tf.filter(F.col("term").isin(terms))
     # exact df per query term; tiny (<= |terms| rows) -> broadcast
     dfs = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -218,11 +219,17 @@ def score_queries(
             rows.append((qid, t))
     spark = corpus.tf.sparkSession
     if not rows:
-        return spark.createDataFrame([], "query_id long, doc_id long, score double")
+        return local_rows_df(
+            spark, [], "query_id long, doc_id long, score double"
+        )
     from collections import Counter
 
     n_terms = Counter(qid for qid, _ in rows)
-    qt = spark.createDataFrame(
+    # local_rows_df, not createDataFrame: this relation is the broadcast
+    # side of the scorer join, and a Python-RDD-backed frame turns every
+    # broadcast materialization into a cluster-width Python worker stage
+    qt = local_rows_df(
+        spark,
         [(qid, t, n_terms[qid]) for qid, t in rows],
         "query_id long, term string, n_q long",
     )
